@@ -1,0 +1,89 @@
+"""Benchmark: depth-maps/sec/chip at the reference DTU eval config
+(1152x864, 5 views, ndepths 48,8,8, 384 inverse-depth samples).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference PyTorch forward measured on this machine's CPU =
+0.0101 depth-maps/s (BASELINE.md, 98.6 s/map at the same shape); the
+north-star bound in BASELINE.json is >=2x the reference *GPU* throughput —
+we report vs the measured baseline and keep absolute numbers in the JSON.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MAPS_PER_S = 0.0101  # measured reference fwd, this machine (CPU)
+
+H, W, V, B = 864, 1152, 5, 2
+WARMUP, ITERS = 2, 6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from effi_mvs_plus_tpu.models import EffiMVSConfig, forward
+    from effi_mvs_plus_tpu.io import load_torch_checkpoint
+    from effi_mvs_plus_tpu.data import cams as camio
+
+    try:
+        params = load_torch_checkpoint(
+            "/root/reference/checkpoints/Effi_MVS_plus/model_dtu.ckpt")
+    except Exception:
+        from effi_mvs_plus_tpu.models import init_params
+        params = init_params(jax.random.PRNGKey(0))
+
+    cfg = EffiMVSConfig(compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (B, V, H, W, 3)).astype(np.float32)
+    intr_q = np.array([[360.0, 0, W / 8], [0, 360.0, H / 8], [0, 0, 1]],
+                      np.float32)
+    exts = [np.eye(4, dtype=np.float32)]
+    for v in range(1, V):
+        E = np.eye(4, dtype=np.float32)
+        a = 0.02 * v
+        c, s = np.cos(a), np.sin(a)
+        E[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        E[:3, 3] = [15.0 * v, 4.0 * v, 2.0 * v]
+        exts.append(E)
+    projs = [camio.stage_proj_matrices(E, intr_q) for E in exts]
+    proj_ms = {k: jnp.asarray(np.broadcast_to(
+        np.stack([p[k] for p in projs])[None], (B, V, 2, 4, 4)).copy())
+        for k in ("stage1", "stage2", "stage3")}
+    depth_values = jnp.asarray(np.broadcast_to(
+        camio.inverse_depth_values(425.0, 2.5 * 0.53, 384)[None],
+        (B, 384)).copy())
+    imgs = jnp.asarray(imgs)
+
+    @jax.jit
+    def run(imgs, s1, s2, s3, dv):
+        out = forward(params, imgs, {"stage1": s1, "stage2": s2, "stage3": s3},
+                      dv, cfg, ctx=None)
+        return out["depth"][-1]
+
+    args = (imgs, proj_ms["stage1"], proj_ms["stage2"], proj_ms["stage3"],
+            depth_values)
+    # force a host readback every iteration: on the experimental axon
+    # relay, block_until_ready returns before execution completes, so a
+    # device->host transfer of the reduced output is the only reliable
+    # fence (measured: block_until_ready alone reports impossible >800
+    # TFLOP/s throughput).
+    for _ in range(WARMUP):
+        float(jax.device_get(jnp.sum(run(*args))))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(jax.device_get(jnp.sum(run(*args))))
+    dt = (time.perf_counter() - t0) / ITERS
+    maps_per_s = B / dt
+
+    print(json.dumps({
+        "metric": "depth_maps_per_sec_per_chip_1152x864_5views",
+        "value": round(maps_per_s, 4),
+        "unit": "depth-maps/s",
+        "vs_baseline": round(maps_per_s / BASELINE_MAPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

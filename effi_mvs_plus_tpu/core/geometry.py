@@ -1,0 +1,145 @@
+"""Camera geometry core: projection composition, inverse-depth sampling,
+disparity<->depth maps.
+
+Pure JAX, no model dependencies.  Semantics match the reference
+(/root/reference/models/module.py:554-591 `get_depth_range_samples`,
+/root/reference/models/Effi_MVS_plus.py:138-164 `disp_to_depth`/
+`depth_to_disp`), which define the published optimisation landscape.
+
+Conventions
+-----------
+* ``proj`` tensors follow the reference data contract
+  (SURVEY §3.5): per view a (2,4,4) stack — slot 0 the 4x4 extrinsics
+  (world->cam), slot 1 the intrinsics K in the top-left 3x3 block,
+  pre-scaled per pyramid stage.
+* "disp" here means *normalised inverse depth* in [0,1]:
+  ``disp = (1/depth - 1/max) / (1/min - 1/max)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def compose_projection(proj_2x4x4):
+    """K·[R|t] composed into a single 4x4 (reference
+    Effi_MVS_plus.py:34-37): rows 0-2 of the extrinsics are premultiplied
+    by K[:3,:3]; row 3 is kept from the extrinsics.
+
+    proj_2x4x4: (..., 2, 4, 4) -> (..., 4, 4)
+    """
+    ext = proj_2x4x4[..., 0, :, :]
+    K = proj_2x4x4[..., 1, :3, :3]
+    top = jnp.einsum("...ij,...jk->...ik", K, ext[..., :3, :4])
+    return jnp.concatenate([top, ext[..., 3:4, :]], axis=-2)
+
+
+def inv3x3(m):
+    """Closed-form adjugate inverse of (...,3,3).
+
+    ``jnp.linalg.inv``'s fp32 LU path loses ~4 digits on typical K·[R|t]
+    products (measured: 9e-3 abs error vs torch/numpy's 3e-7), which is
+    fatal for sub-pixel warp parity — the cofactor expansion is exact to
+    fp32 rounding for these well-conditioned matrices.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def relative_projection(src_proj, ref_proj):
+    """rot, trans mapping ref-camera pixel rays to src pixels.
+
+    Equivalent to ``P = src_proj @ inv(ref_proj)`` (reference
+    module.py:314) for projection matrices with bottom row (0,0,0,1):
+    rot = M_src @ M_ref^-1, trans = t_src - rot @ t_ref.
+    Returns (rot (...,3,3), trans (...,3)).
+    """
+    m_src, t_src = src_proj[..., :3, :3], src_proj[..., :3, 3]
+    m_ref, t_ref = ref_proj[..., :3, :3], ref_proj[..., :3, 3]
+    rot = jnp.einsum("...ij,...jk->...ik", m_src, inv3x3(m_ref))
+    trans = t_src - jnp.einsum("...ij,...j->...i", rot, t_ref)
+    return rot, trans
+
+
+def disp_to_depth(disp, min_depth, max_depth):
+    """Normalised disparity in [0,1] -> (scaled_disp, depth).
+    scaled_disp is clamped at 1e-4 (reference Effi_MVS_plus.py:138-148)."""
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    scaled = min_disp + (max_disp - min_disp) * disp
+    scaled = jnp.maximum(scaled, 1e-4)
+    return scaled, 1.0 / scaled
+
+
+def depth_to_disp(depth, min_depth, max_depth):
+    """depth -> normalised disparity (reference Effi_MVS_plus.py:151-164)."""
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    return (1.0 / depth - min_disp) / ((max_disp - min_disp) + 1e-10)
+
+
+def depth_range_samples_global(depth_values, ndepth, height, width):
+    """Uniform sweep over the global range (reference module.py:577-585,
+    cur_depth.dim()==2 branch): linspace from depth_values[:,0] to
+    depth_values[:,-1] with ndepth points, broadcast to (B,D,H,W)."""
+    lo = depth_values[:, 0]
+    hi = depth_values[:, -1]
+    step = (hi - lo) / (ndepth - 1)
+    d = lo[:, None] + jnp.arange(ndepth, dtype=depth_values.dtype)[None, :] * step[:, None]
+    return jnp.broadcast_to(d[:, :, None, None],
+                            (depth_values.shape[0], ndepth, height, width))
+
+
+def depth_range_samples_local(cur_depth, ndepth, interval):
+    """Per-pixel sweep around the current estimate (reference
+    module.py:554-570): ndepth samples from clamp(cur - (n//2)*interval)
+    to clamp(cur + (n//2)*interval), final clamp at 1e-5.
+
+    cur_depth: (B,H,W); interval: broadcastable to (B,H,W).
+    Returns (B,D,H,W).
+    """
+    half = ndepth // 2
+    lo = jnp.maximum(cur_depth - half * interval, 1e-4)
+    hi = jnp.clip(cur_depth + half * interval, 1e-4, 1e4)
+    step = (hi - lo) / (ndepth - 1)
+    idx = jnp.arange(ndepth, dtype=cur_depth.dtype)[None, :, None, None]
+    samples = lo[:, None] + idx * step[:, None]
+    return jnp.maximum(samples, 1e-5)
+
+
+def pixel_grid(height, width, dtype=jnp.float32):
+    """Homogeneous pixel grid (3, H*W): rows (x, y, 1)."""
+    y = lax.broadcasted_iota(dtype, (height, width), 0).reshape(-1)
+    x = lax.broadcasted_iota(dtype, (height, width), 1).reshape(-1)
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=0)
+
+
+def project_to_src(rot, trans, depth, height, width):
+    """Project the ref pixel grid at per-pixel depths into a source view.
+
+    rot: (B,3,3); trans: (B,3); depth: (B,D,H,W) actual depths.
+    Returns px, py: (B,D,H,W) source-view pixel coordinates.
+    Matches reference module.py:313-337 incl. the z==0 -> z+1e-8 guard.
+    """
+    B, D, H, W = depth.shape
+    grid = pixel_grid(height, width, depth.dtype)           # (3, HW)
+    ray = jnp.einsum("bij,jp->bip", rot, grid)              # (B,3,HW)
+    xyz = (ray[:, :, None, :] * depth.reshape(B, 1, D, H * W)
+           + trans[:, :, None, None])                       # (B,3,D,HW)
+    z = xyz[:, 2]
+    z = jnp.where(z == 0, z + 1e-8, z)
+    px = xyz[:, 0] / z
+    py = xyz[:, 1] / z
+    return px.reshape(B, D, H, W), py.reshape(B, D, H, W)

@@ -1,0 +1,179 @@
+"""Dynamic point-cloud fusion (dypcd), vectorised for accelerator execution.
+
+Re-design of the reference's per-view numpy/cv2 fusion loop
+(/root/reference/test_dtu_dypcd.py:164-350): for every reference view,
+reproject through each source view's depth map (ref -> src -> ref), apply
+the *dynamic* consistency ladder
+
+    mask_i = (reproj_dist < i * dist_base)
+             & (|depth_reproj - depth_ref| < log10(max(i, 1.05)) * diff_base)
+    keep   = OR_i ( #views passing level i  >=  i ),        i in [s, e)
+
+average the passing reprojected depths with the reference (high-confidence
+pixels keep the reference depth), and back-project to world points.
+
+Instead of a Python loop over (49 ref x 10 src) with cv2.remap, all source
+views of one reference are stacked and the whole ladder is computed in one
+jitted call: the remap becomes the shared bilinear-gather op, the ladder a
+vectorised comparison against a threshold vector.  Per-scene work is
+embarrassingly parallel (scans -> processes/hosts, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from effi_mvs_plus_tpu.core.geometry import inv3x3
+from effi_mvs_plus_tpu.ops import bilinear_gather
+
+
+@dataclasses.dataclass(frozen=True)
+class DypcdParams:
+    """Reference constants test_dtu_dypcd.py:33-38,77-79."""
+    s: int = 1
+    e: int = 11
+    dist_base: float = 0.5
+    diff_base: float = 0.25
+    conf_thresh: float = 0.5
+    conf_override: float = 0.75
+
+
+def _cam_rays(K_inv, depth):
+    """Back-project a depth map: (3,3) K^-1, (H,W) depth -> (H,W,3) cam."""
+    H, W = depth.shape
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    pix = jnp.stack([x, y, jnp.ones_like(x)], -1)
+    return jnp.einsum("ij,hwj->hwi", K_inv, pix) * depth[..., None]
+
+
+def _rigid_inv(E):
+    """Inverse of a rigid [R|t] 4x4: [R^T | -R^T t] (avoids the fp32 LU
+    accuracy cliff of jnp.linalg.inv, see core.geometry.inv3x3)."""
+    R = E[:3, :3]
+    t = E[:3, 3]
+    top = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+    return jnp.concatenate([top, E[3:4, :]], axis=0)
+
+
+def _reproject_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
+    """Single src view: returns (depth_reprojected, x_rep, y_rep)."""
+    H, W = depth_ref.shape
+    K_ref_inv = inv3x3(K_ref)
+    K_src_inv = inv3x3(K_src)
+    rel = E_src @ _rigid_inv(E_ref)
+    rel_back = E_ref @ _rigid_inv(E_src)
+    xyz_ref = _cam_rays(K_ref_inv, depth_ref)                       # (H,W,3)
+    xyz_src = (jnp.einsum("ij,hwj->hwi", rel[:3, :3], xyz_ref)
+               + rel[:3, 3])
+    z = xyz_src[..., 2]
+    kxyz = jnp.einsum("ij,hwj->hwi", K_src, xyz_src)
+    x_src = kxyz[..., 0] / kxyz[..., 2]
+    y_src = kxyz[..., 1] / kxyz[..., 2]
+
+    sampled = bilinear_gather(depth_src[None, :, :, None],
+                              x_src.reshape(1, -1),
+                              y_src.reshape(1, -1)).reshape(H, W)
+
+    pix_src = jnp.stack([x_src, y_src, jnp.ones_like(x_src)], -1)
+    xyz_src2 = jnp.einsum("ij,hwj->hwi", K_src_inv, pix_src) * sampled[..., None]
+    xyz_rep = (jnp.einsum("ij,hwj->hwi", rel_back[:3, :3], xyz_src2)
+               + rel_back[:3, 3])
+    depth_rep = xyz_rep[..., 2]
+    kxyz_rep = jnp.einsum("ij,hwj->hwi", K_ref, xyz_rep)
+    zr = kxyz_rep[..., 2]
+    zr = jnp.where(zr == 0, zr + 1e-5, zr)
+    return depth_rep, kxyz_rep[..., 0] / zr, kxyz_rep[..., 1] / zr
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def consistency(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
+                E_srcs, params: DypcdParams = DypcdParams()):
+    """Full dynamic-consistency fusion for one reference view.
+
+    depth_srcs: (S,H,W); K_srcs/E_srcs: (S,3,3)/(S,4,4).
+    Returns (final_mask (H,W) bool, fused_depth (H,W), geo_mask, photo_mask).
+    """
+    H, W = depth_ref.shape
+    depth_rep, x_rep, y_rep = jax.vmap(
+        lambda d, K, E: _reproject_one(depth_ref, K_ref, E_ref, d, K, E)
+    )(depth_srcs, K_srcs, E_srcs)                      # each (S,H,W)
+
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dist = jnp.sqrt((x_rep - x) ** 2 + (y_rep - y) ** 2)       # (S,H,W)
+    depth_diff = jnp.abs(depth_rep - depth_ref)
+
+    levels = jnp.arange(params.s, params.e, dtype=jnp.float32)  # (L,)
+    diff_thresh = jnp.log10(jnp.maximum(levels, 1.05)) * params.diff_base
+    masks = ((dist[None] < levels[:, None, None, None] * params.dist_base)
+             & (depth_diff[None] < diff_thresh[:, None, None, None]))
+    # (L,S,H,W)
+
+    top_mask = masks[-1]                                # level e-1 per src
+    counts = jnp.sum(masks.astype(jnp.int32), axis=1)   # (L,H,W)
+    geo_mask = jnp.any(counts >= levels[:, None, None], axis=0)
+    geo_mask = geo_mask | (jnp.sum(top_mask.astype(jnp.int32), 0) >= params.e)
+
+    depth_sum = jnp.sum(jnp.where(top_mask, depth_rep, 0.0), axis=0)
+    n_pass = jnp.sum(top_mask.astype(jnp.float32), axis=0)
+    fused = (depth_sum + depth_ref) / (n_pass + 1.0)
+    fused = jnp.where(conf_ref > params.conf_override, depth_ref, fused)
+
+    photo_mask = conf_ref > params.conf_thresh
+    return photo_mask & geo_mask, fused, geo_mask, photo_mask
+
+
+def backproject_to_world(depth, mask, K, E):
+    """Masked pixels -> world points (numpy, dynamic shapes on host)."""
+    H, W = depth.shape
+    ys, xs = np.nonzero(np.asarray(mask))
+    d = np.asarray(depth)[ys, xs]
+    pix = np.stack([xs, ys, np.ones_like(xs)]).astype(np.float64) * d
+    xyz_cam = np.linalg.inv(np.asarray(K, np.float64)) @ pix
+    xyz_w = (np.linalg.inv(np.asarray(E, np.float64))
+             @ np.vstack([xyz_cam, np.ones_like(d)]))[:3]
+    return xyz_w.T.astype(np.float32), (ys, xs)
+
+
+def fuse_scene(pair_data, load_view, params: DypcdParams = DypcdParams(),
+               progress=None):
+    """Fuse one scene into a point cloud.
+
+    pair_data: [(ref_view, [src_views...])]
+    load_view: view_id -> dict(depth (H,W), conf (H,W) or None,
+               K (3,3), E (4,4), image (H,W,3) float [0,1] or None)
+    Returns (xyz (N,3) float32, rgb (N,3) uint8).
+    """
+    all_xyz, all_rgb = [], []
+    for ref, srcs in pair_data:
+        r = load_view(ref)
+        sv = [load_view(s) for s in srcs]
+        depth_srcs = jnp.stack([np.asarray(s["depth"]) for s in sv])
+        K_srcs = jnp.stack([np.asarray(s["K"]) for s in sv])
+        E_srcs = jnp.stack([np.asarray(s["E"]) for s in sv])
+        final_mask, fused, geo_mask, photo_mask = consistency(
+            jnp.asarray(r["depth"]), jnp.asarray(r["conf"]),
+            jnp.asarray(r["K"]), jnp.asarray(r["E"]),
+            depth_srcs, K_srcs, E_srcs, params)
+        xyz, (ys, xs) = backproject_to_world(np.asarray(fused),
+                                             np.asarray(final_mask),
+                                             r["K"], r["E"])
+        all_xyz.append(xyz)
+        if r.get("image") is not None:
+            img = np.asarray(r["image"])
+            all_rgb.append((img[ys, xs] * 255).astype(np.uint8))
+        if progress is not None:
+            progress(ref, float(np.asarray(photo_mask).mean()),
+                     float(np.asarray(geo_mask).mean()),
+                     float(np.asarray(final_mask).mean()))
+    xyz = np.concatenate(all_xyz, 0) if all_xyz else np.zeros((0, 3), np.float32)
+    rgb = (np.concatenate(all_rgb, 0) if all_rgb and len(all_rgb) == len(all_xyz)
+           else None)
+    return xyz, rgb

@@ -1,0 +1,193 @@
+"""Network blocks: FPN feature/context net, pixel-wise view-weight net,
+3-D cost regulariser, cross-scale propagation block, ConvGRU update block.
+
+Functional modules over explicit param subtrees whose keys mirror the
+reference checkpoint names (see io/torch_import.py).  Behavioural parity
+targets, by block:
+
+* ``feature_net``      — P_1to8_FeatureNet_Fast, /root/reference/models/module.py:346-412
+* ``pixelwise_net``    — the deployed 2-D Sequential, Effi_MVS_plus.py:361-362
+* ``cost_reg_net``     — CostRegNet_2_sample_FPN3D_Fast, module.py:435-463
+* ``csp_block``        — cost_up_small, module.py:501-516
+* ``update_block``     — BasicUpdateBlock (+ProjectionInput/ConvGRU/DepthHead),
+                         /root/reference/models/update.py:10-141
+
+All tensors channels-last.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from effi_mvs_plus_tpu import nn
+from effi_mvs_plus_tpu.nn import scope
+
+
+def _upsample_nearest2x(x):
+    """(B,H,W,C) -> (B,2H,2W,C), torch F.interpolate(mode='nearest')."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def feature_net(x, p, ctx=None):
+    """4-level conv pyramid + top-down FPN.  x: (B,H,W,3 or any C).
+
+    Returns {'stage1': 1/8-res, 'stage2': 1/4-res, 'stage3': 1/2-res}.
+    """
+    def seq(x, name, specs):
+        for i, (stride, pad) in enumerate(specs):
+            with scope(ctx, f"{name}.{i}"):
+                x = nn.conv2d_block(x, p[f"{name}.{i}"], ctx,
+                                    stride=stride, padding=pad)
+        return x
+
+    conv0 = seq(x, "conv0", [(1, 1), (1, 1)])
+    conv1 = seq(conv0, "conv1", [(2, 2), (1, 1), (1, 1)])
+    conv2 = seq(conv1, "conv2", [(2, 2), (1, 1), (1, 1)])
+    conv3 = seq(conv2, "conv3", [(2, 2), (1, 1), (1, 1)])
+
+    out = {}
+    intra = conv3
+    out["stage1"] = nn.conv2d(intra, p["out1"]["weight"])
+    intra = _upsample_nearest2x(intra) + nn.conv2d(
+        conv2, p["inner1"]["weight"], p["inner1"]["bias"])
+    out["stage2"] = nn.conv2d(intra, p["out2"]["weight"], padding=1)
+    intra = _upsample_nearest2x(intra) + nn.conv2d(
+        conv1, p["inner2"]["weight"], p["inner2"]["bias"])
+    out["stage3"] = nn.conv2d(intra, p["out3"]["weight"], padding=1)
+    return out
+
+
+def pixelwise_net(entropy, p, ctx=None):
+    """Entropy map (B,H,W,1) -> per-view weight (B,H,W,1) in (0,1)."""
+    x = entropy
+    for i in range(3):
+        with scope(ctx, str(i)):
+            x = nn.conv_bn_relu2d(x, p[str(i)], ctx, padding=1)
+    x = nn.conv2d(x, p["3"]["weight"], p["3"]["bias"])
+    return jax.nn.sigmoid(x)
+
+
+def cost_reg_net(x, p, ctx=None):
+    """3-level 3-D U-Net.  x: (B,D,H,W,G).
+
+    Returns (prob_pre (B,D,H,W), pro (B,D,H,W,base_channels)).
+    D, H, W must be divisible by 4 (two stride-2 levels).
+    """
+    def c(x, name, stride=1):
+        with scope(ctx, name):
+            return nn.conv3d_block(x, p[name], ctx, stride=stride, padding=1)
+
+    def d(x, name):
+        with scope(ctx, name):
+            return nn.deconv3d_block(x, p[name], ctx, stride=2, padding=1,
+                                     output_padding=1)
+
+    conv1 = c(c(x, "conv0"), "conv1")
+    conv3 = c(c(conv1, "conv2", 2), "conv3")
+    mid = c(c(conv3, "conv4", 2), "conv5")
+    up = conv3 + d(mid, "conv6")
+    pro = conv1 + d(up, "conv7")
+    prob_pre = nn.conv3d(pro, p["prob"]["weight"], padding=1)
+    return prob_pre[..., 0], pro
+
+
+def csp_block(cur_volume, prev_volume, p, ctx=None):
+    """Cross-scale propagation: fuse the (resampled, half-resolution)
+    previous-stage volume into the current stage's fresh volume.
+
+    cur_volume: (B,D,H,W,G); prev_volume: (B,D,H/2,W/2,1).
+    Returns fused (B,D,H,W) volume.
+    """
+    with scope(ctx, "conv0"):
+        down = nn.conv3d_block(cur_volume, p["conv0"], ctx,
+                               stride=(1, 2, 2), padding=1)
+    with scope(ctx, "conv_cost"):
+        emb = nn.conv3d_block(prev_volume, p["conv_cost"], ctx, padding=1)
+    with scope(ctx, "conv1"):
+        fused = nn.conv3d_block(jnp.concatenate([down, emb], axis=-1),
+                                p["conv1"], ctx, padding=1)
+    with scope(ctx, "conv2"):
+        up = nn.deconv3d_block(fused, p["conv2"], ctx, stride=(1, 2, 2),
+                               padding=1, output_padding=(0, 1, 1))
+    return up[..., 0]
+
+
+def gru_step(h, x, p, ctx=None):
+    """ConvGRU with 3x3 gates.  h: (B,H,W,hdim); x: (B,H,W,xdim)."""
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(nn.conv2d(hx, p["convz"]["weight"],
+                                 p["convz"]["bias"], padding=1))
+    r = jax.nn.sigmoid(nn.conv2d(hx, p["convr"]["weight"],
+                                 p["convr"]["bias"], padding=1))
+    rhx = jnp.concatenate([r * h, x], axis=-1)
+    q = jnp.tanh(nn.conv2d(rhx, p["convq"]["weight"],
+                           p["convq"]["bias"], padding=1))
+    return (1 - z) * h + z * q
+
+
+def projection_input(disp, cost, context, p, ctx=None):
+    """Motion encoder: fuse current inverse depth, cost lookup and context.
+    disp: (B,H,W,1); cost: (B,H,W,cost_dim); context: (B,H,W,cdim)."""
+    cor = jax.nn.relu(nn.conv2d(cost, p["convc1"]["weight"], p["convc1"]["bias"]))
+    cor = jax.nn.relu(nn.conv2d(cor, p["convc2"]["weight"], p["convc2"]["bias"],
+                                padding=1))
+    dfm = jax.nn.relu(nn.conv2d(disp, p["convd1"]["weight"], p["convd1"]["bias"],
+                                padding=3))
+    dfm = jax.nn.relu(nn.conv2d(dfm, p["convd2"]["weight"], p["convd2"]["bias"],
+                                padding=1))
+    y = nn.conv2d(jnp.concatenate([cor, dfm], axis=-1),
+                  p["convd"]["weight"], p["convd"]["bias"], padding=1)
+    y = nn.conv2d(jnp.concatenate([y, context], axis=-1),
+                  p["convc"]["weight"], p["convc"]["bias"])
+    y = jax.nn.relu(y)
+    with scope(ctx, "dropout"):
+        y = nn.dropout(y, 0.1, ctx)
+    return y
+
+
+def depth_head(h, p, ctx=None):
+    """hidden -> tanh-bounded inverse-depth delta (B,H,W,1)."""
+    y = jax.nn.relu(nn.conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"],
+                              padding=1))
+    y = nn.conv2d(y, p["conv2"]["weight"], p["conv2"]["bias"], padding=1)
+    with scope(ctx, "dropout"):
+        y = nn.dropout(y, 0.1, ctx)
+    return jnp.tanh(y)
+
+
+def upsample_mask(h, p):
+    """hidden -> convex-upsampling mask logits, scaled 0.25
+    (update.py:136-137)."""
+    y = jax.nn.relu(nn.conv2d(h, p["mask.0"]["weight"], p["mask.0"]["bias"],
+                              padding=1))
+    return 0.25 * nn.conv2d(y, p["mask.2"]["weight"], p["mask.2"]["bias"])
+
+
+def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
+                 scale_inv_depth, ctx=None):
+    """RAFT-style iterative refinement (update.py:114-141).
+
+    hidden: (B,H,W,hdim); inv_depth: (B,H,W,1) normalised inverse depth;
+    ``get_cost(depth)`` resamples the stored volumes at hypotheses around
+    ``depth``.  The loop is unrolled (seq_len is a small static constant) so
+    each iteration can carry a distinct dropout scope; the iterate is
+    detached at the top of every iteration exactly like the reference.
+
+    Returns (hidden, mask_logits, [inv_depth per iter]).
+    """
+    inv_depths = []
+    for i in range(seq_len):
+        inv_depth = jax.lax.stop_gradient(inv_depth)
+        depth = scale_inv_depth(inv_depth)[1]
+        cost = get_cost(depth, i)
+        with scope(ctx, f"iter{i}"):
+            with scope(ctx, "encoder"):
+                x = projection_input(inv_depth, cost, context, p["encoder"], ctx)
+            hidden = gru_step(hidden, x, p["depth_gru"], ctx)
+            with scope(ctx, "depth_head"):
+                delta = depth_head(hidden, p["depth_head"], ctx)
+        inv_depth = inv_depth + delta
+        inv_depths.append(inv_depth)
+    mask = upsample_mask(hidden, p)
+    return hidden, mask, inv_depths

@@ -1,0 +1,117 @@
+"""Device-mesh parallelism: data parallel + cost-volume model parallel.
+
+TPU-native replacement for the reference's NCCL stack (DataParallel /
+dormant DDP, train.py:408-501, SURVEY §2.5): one global
+``jax.sharding.Mesh`` whose axes are
+
+* ``data``  — batch sharding; gradient psum is inserted by XLA because the
+  loss averages over the sharded batch axis (the DDP all-reduce analogue,
+  riding ICI).
+* ``model`` — cost-volume sharding: the stage-1 plane sweep's depth-
+  hypothesis axis (D=48) is annotated to split over this axis.  The
+  per-view weighted correlation accumulation is associative
+  (Effi_MVS_plus.py:48-71), so XLA partitions warp+correlate+regularise
+  per depth chunk and inserts the halo exchanges for the 3-D U-Net —
+  the MVS analogue of sequence/tensor parallelism (SURVEY §5.7).
+
+The model code calls the ``constrain_*`` hooks, which are no-ops unless a
+``ShardingPolicy`` is active — single-chip code paths pay nothing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a host batch with the leading axis split over 'data'."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+class ShardingPolicy:
+    """Holds the mesh and the PartitionSpecs the model hooks apply."""
+
+    def __init__(self, mesh: Mesh, shard_depth: bool = True,
+                 shard_spatial: bool = False):
+        self.mesh = mesh
+        self.shard_depth = shard_depth and mesh.shape.get("model", 1) > 1
+        self.shard_spatial = shard_spatial and mesh.shape.get("model", 1) > 1
+
+    def _constrain(self, x, spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
+    def batch(self, x):
+        return self._constrain(x, P("data"))
+
+    def volume(self, x):
+        """(B, D, H, W, ...) — batch over data, depth hypotheses over
+        model."""
+        if not self.shard_depth:
+            return self._constrain(x, P("data"))
+        rest = [None] * (x.ndim - 2)
+        return self._constrain(x, P("data", "model", *rest))
+
+    def spatial(self, x):
+        """(B, H, W, C) — batch over data, rows over model."""
+        if not self.shard_spatial:
+            return self._constrain(x, P("data"))
+        rest = [None] * (x.ndim - 2)
+        return self._constrain(x, P("data", "model", *rest))
+
+
+_tls = threading.local()
+
+
+def _active() -> Optional[ShardingPolicy]:
+    return getattr(_tls, "policy", None)
+
+
+@contextlib.contextmanager
+def use_policy(policy: Optional[ShardingPolicy]):
+    prev = _active()
+    _tls.policy = policy
+    try:
+        yield
+    finally:
+        _tls.policy = prev
+
+
+def constrain_batch(x):
+    pol = _active()
+    return pol.batch(x) if pol is not None else x
+
+
+def constrain_volume(x):
+    pol = _active()
+    return pol.volume(x) if pol is not None else x
+
+
+def constrain_spatial(x):
+    pol = _active()
+    return pol.spatial(x) if pol is not None else x

@@ -1,0 +1,130 @@
+"""Jitted training / evaluation steps and the epoch driver.
+
+TPU-first design: one compiled train step (forward + loss + grads + AdamW
+update + BN running-stat merge) over a device mesh; the batch is sharded
+along the mesh's 'data' axis via NamedSharding so gradients all-reduce
+over ICI automatically.  Replaces the reference's train_sample /
+test_sample_depth (train.py:229-353).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from effi_mvs_plus_tpu import nn
+from effi_mvs_plus_tpu.models import EffiMVSConfig, forward
+from effi_mvs_plus_tpu.train.loss import (mvs_loss, abs_depth_error,
+                                          threshold_error)
+
+
+def make_train_step(cfg: EffiMVSConfig, optimizer, loss_rate=1.0):
+    """Returns jitted step: (params, opt_state, batch, rng) ->
+    (params, opt_state, metrics)."""
+
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            ctx = nn.Ctx(train=True, rng=rng)
+            out = forward(p, batch["imgs"], batch["proj_matrices"],
+                          batch["depth_values"], cfg, ctx)
+            total, per = mvs_loss(out["depth"], batch["depth"],
+                                  batch["mask"], loss_rate)
+            return total, (per, ctx.updates, out["depth"][-1])
+
+        (loss, (per, bn_updates, final_depth)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = nn.merge_bn_updates(params, bn_updates)
+
+        gt = batch["depth"]["stage4"]
+        mask = batch["mask"]["stage4"]
+        metrics = {
+            "loss": loss,
+            "abs_depth_error": abs_depth_error(final_depth, gt, mask),
+            "thres2mm_error": threshold_error(final_depth, gt, mask, 2.0),
+            "thres4mm_error": threshold_error(final_depth, gt, mask, 4.0),
+            "thres8mm_error": threshold_error(final_depth, gt, mask, 8.0),
+        }
+        metrics.update(per)
+        return params, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_step(cfg: EffiMVSConfig):
+    """No-grad eval step with the reference's test metrics
+    (train.py:293-353): abs error + scaled threshold outlier fractions."""
+
+    def step(params, batch):
+        out = forward(params, batch["imgs"], batch["proj_matrices"],
+                      batch["depth_values"], cfg, ctx=None)
+        depth = out["depth"][-1]
+        gt = batch["depth"]["stage4"]
+        mask = batch["mask"]["stage4"]
+        dv = batch["depth_values"]
+        scale = 1.0 / ((dv[:, 0] + dv[:, -1]) / 2.0) / 1000.0  # ~mid depth, m
+        scale = scale[:, None, None]
+        m = {"abs_depth_error": abs_depth_error(depth, gt, mask)}
+        for t in (2.0, 4.0, 8.0):
+            m[f"thres{int(t)}mm_error"] = threshold_error(depth, gt, mask, t)
+        for t in (0.125, 0.25, 0.5, 1.0):
+            m[f"thres{t}_scaled"] = threshold_error(
+                depth * scale, gt * scale, mask, t)
+        return m, depth
+
+    return jax.jit(step)
+
+
+class DictMeter:
+    """Running mean of metric dicts (reference utils.py:103-122)."""
+
+    def __init__(self):
+        self.sums = {}
+        self.count = 0
+
+    def update(self, d):
+        for k, v in d.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+        self.count += 1
+
+    def mean(self):
+        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+
+
+def save_checkpoint(path, params, opt_state, epoch):
+    """Orbax-free fallback: a compressed npz of flattened leaves with a
+    pickled treedef is fragile; instead store params as nested npz keys."""
+    import pickle
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state),
+        "epoch": epoch,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path):
+    import pickle
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def latest_checkpoint(logdir):
+    if not os.path.isdir(logdir):
+        return None
+    cands = [f for f in os.listdir(logdir) if f.endswith(".ckpt")]
+    if not cands:
+        return None
+    cands.sort(key=lambda x: int(x.split("_")[-1].split(".")[0]))
+    return os.path.join(logdir, cands[-1])
