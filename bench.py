@@ -16,7 +16,7 @@ import numpy as np
 BASELINE_MAPS_PER_S = 0.0101  # measured reference fwd, this machine (CPU)
 
 H, W, V, B = 864, 1152, 5, 2
-WARMUP, ITERS = 2, 6
+WARMUP, ITERS = 2, 16
 
 
 def main():
@@ -64,16 +64,23 @@ def main():
 
     args = (imgs, proj_ms["stage1"], proj_ms["stage2"], proj_ms["stage3"],
             depth_values)
-    # force a host readback every iteration: on the experimental axon
-    # relay, block_until_ready returns before execution completes, so a
-    # device->host transfer of the reduced output is the only reliable
-    # fence (measured: block_until_ready alone reports impossible >800
-    # TFLOP/s throughput).
+
+    def fence(x):
+        # On the axon relay, block_until_ready returns before execution
+        # completes (measured: it reports impossible >800 TFLOP/s); a
+        # device->host readback is the only reliable fence, costing ~30 ms
+        # relay RTT — so we dispatch a batch of iterations (the device
+        # executes them in order) and fence once at the end.
+        return float(jax.device_get(x[0, 0, 0]))
+
+    fence(jnp.zeros((1, 1, 1)))      # tunnel warm-up (first op ~100 s)
     for _ in range(WARMUP):
-        float(jax.device_get(jnp.sum(run(*args))))
+        fence(run(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(ITERS):
-        float(jax.device_get(jnp.sum(run(*args))))
+        out = run(*args)
+    fence(out)
     dt = (time.perf_counter() - t0) / ITERS
     maps_per_s = B / dt
 

@@ -1,0 +1,165 @@
+"""Training driver CLI.
+
+Counterpart of the reference train.py (argparse contract kept for the
+flags that matter: dataset, paths, views, ndepths, epochs, lr, batch size,
+resume/loadckpt) — but TPU-native underneath: one jitted train step over a
+device mesh, batch sharded along 'data', orbax-style pickled checkpoints
+per epoch, print-based metrics like the reference.
+
+Usage:
+  python -m effi_mvs_plus_tpu.cli.train --mode train --trainpath ... \
+      --trainlist lists/dtu/train.txt --testlist lists/dtu/test.txt \
+      --logdir ckpts --epochs 16 --batch_size 16 --lr 1e-3
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("effi-mvs-plus-tpu train")
+    p.add_argument("--mode", default="train",
+                   choices=["train", "finetune", "test", "profile"])
+    p.add_argument("--dataset", default="dtu_yao")
+    p.add_argument("--trainpath", required=False)
+    p.add_argument("--testpath", default=None)
+    p.add_argument("--trainlist", required=False)
+    p.add_argument("--testlist", required=False)
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=1e-3)
+    p.add_argument("--lossrate", type=float, default=1.0)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--numdepth", type=int, default=384)
+    p.add_argument("--interval_scale", type=float, default=0.53)
+    p.add_argument("--trainviews", type=int, default=5)
+    p.add_argument("--testviews", type=int, default=5)
+    p.add_argument("--ndepths", type=str, default="48,8,8")
+    p.add_argument("--GRUiters", type=str, default="3,3,3")
+    p.add_argument("--CostNum", type=int, default=3)
+    p.add_argument("--logdir", default="./checkpoints/run")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--loadckpt", default=None,
+                   help="init weights from a checkpoint (.ckpt torch or "
+                        ".pkl native) — finetune entry")
+    p.add_argument("--summary_freq", type=int, default=50)
+    p.add_argument("--save_freq", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="devices on the mesh data axis (default: all)")
+    return p
+
+
+def make_config(args):
+    from effi_mvs_plus_tpu.models import EffiMVSConfig
+    return EffiMVSConfig(
+        ndepths=tuple(int(x) for x in args.ndepths.split(",")),
+        gru_iters=tuple(int(x) for x in args.GRUiters.split(",")),
+        CostNum=args.CostNum)
+
+
+def load_initial_params(args, cfg, rng):
+    from effi_mvs_plus_tpu.models import init_params
+    from effi_mvs_plus_tpu.io import load_torch_checkpoint
+    from effi_mvs_plus_tpu.train import trainer as T
+    if args.loadckpt:
+        if args.loadckpt.endswith(".ckpt"):
+            return load_torch_checkpoint(args.loadckpt), 0, None
+        payload = T.load_checkpoint(args.loadckpt)
+        return payload["params"], 0, None
+    latest = T.latest_checkpoint(args.logdir) if args.resume else None
+    if latest:
+        payload = T.load_checkpoint(latest)
+        print(f"resuming {latest} at epoch {payload['epoch'] + 1}")
+        return payload["params"], payload["epoch"] + 1, payload["opt_state"]
+    return init_params(rng, cfg), 0, None
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    from effi_mvs_plus_tpu.data import find_dataset
+    from effi_mvs_plus_tpu.data.loader import Loader
+    from effi_mvs_plus_tpu.parallel import (make_mesh, shard_batch,
+                                            replicate)
+    from effi_mvs_plus_tpu.train import trainer as T
+    from effi_mvs_plus_tpu.train.optim import make_optimizer
+
+    cfg = make_config(args)
+    rng = jax.random.PRNGKey(args.seed)
+
+    ds_cls = find_dataset(args.dataset)
+    train_ds = ds_cls(args.trainpath, args.trainlist, "train",
+                      args.trainviews, args.numdepth)
+    test_ds = ds_cls(args.testpath or args.trainpath, args.testlist, "test",
+                     args.testviews, args.numdepth)
+    train_loader = Loader(train_ds, args.batch_size, shuffle=True,
+                          num_workers=args.num_workers, drop_last=True,
+                          seed=args.seed)
+    test_loader = Loader(test_ds, args.batch_size, shuffle=False,
+                         num_workers=args.num_workers)
+
+    params, start_epoch, opt_state = load_initial_params(args, cfg, rng)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(params)
+                   if hasattr(x, "shape"))
+    print(f"model parameters: {n_params}")
+
+    total_steps = len(train_loader) * args.epochs + 100
+    optimizer, sched = make_optimizer(args.lr, total_steps,
+                                      weight_decay=args.wd, params=params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+
+    n_dev = args.data_parallel or len(jax.devices())
+    mesh = make_mesh(data=n_dev, model=1,
+                     devices=jax.devices()[:n_dev])
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_step = T.make_train_step(cfg, optimizer, args.lossrate)
+    eval_step = T.make_eval_step(cfg)
+
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    gstep = start_epoch * len(train_loader)
+    for epoch in range(start_epoch, args.epochs):
+        t_epoch = time.time()
+        for i, batch in enumerate(train_loader):
+            batch.pop("filename", None)
+            batch = shard_batch(batch, mesh)
+            step_rng, sub = jax.random.split(step_rng)
+            params, opt_state, metrics = train_step(params, opt_state,
+                                                    batch, sub)
+            gstep += 1
+            if i % args.summary_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()
+                     if not k.startswith("l")}
+                print(f"epoch {epoch} iter {i}/{len(train_loader)} "
+                      f"lr {float(sched(gstep)):.2e} " +
+                      " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+                      flush=True)
+        if epoch % args.save_freq == 0:
+            path = os.path.join(args.logdir, f"model_{epoch:06d}.ckpt")
+            T.save_checkpoint(path, jax.device_get(params),
+                              jax.device_get(opt_state), epoch)
+            print(f"saved {path}")
+
+        meter = T.DictMeter()
+        for batch in test_loader:
+            batch.pop("filename", None)
+            batch = shard_batch(batch, mesh)
+            m, _ = eval_step(params, batch)
+            meter.update({k: float(v) for k, v in m.items()})
+        print(f"epoch {epoch} eval: " +
+              " ".join(f"{k}={v:.4f}" for k, v in meter.mean().items()) +
+              f" ({time.time() - t_epoch:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,41 +92,111 @@ def _reproject_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
     return depth_rep, kxyz_rep[..., 0] / zr, kxyz_rep[..., 1] / zr
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def consistency(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
-                E_srcs, params: DypcdParams = DypcdParams()):
-    """Full dynamic-consistency fusion for one reference view.
+def _dynamic_ladder(depth_ref, depth_rep, x_rep, y_rep, levels, dist_thresh,
+                    diff_thresh, vote_over, relative=False):
+    """Shared dynamic-consistency core.
 
-    depth_srcs: (S,H,W); K_srcs/E_srcs: (S,3,3)/(S,4,4).
-    Returns (final_mask (H,W) bool, fused_depth (H,W), geo_mask, photo_mask).
+    depth_rep/x_rep/y_rep: (S,H,W) reprojections; levels/dist_thresh/
+    diff_thresh: (L,) threshold ladder; vote_over: the count needed at the
+    final OR (the unreachable `geo_mask_sum >= e` term kept for parity).
+    Returns (geo_mask (H,W), fused-depth numerator pieces).
     """
     H, W = depth_ref.shape
-    depth_rep, x_rep, y_rep = jax.vmap(
-        lambda d, K, E: _reproject_one(depth_ref, K_ref, E_ref, d, K, E)
-    )(depth_srcs, K_srcs, E_srcs)                      # each (S,H,W)
-
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     dist = jnp.sqrt((x_rep - x) ** 2 + (y_rep - y) ** 2)       # (S,H,W)
     depth_diff = jnp.abs(depth_rep - depth_ref)
+    if relative:
+        depth_diff = depth_diff / depth_ref
 
-    levels = jnp.arange(params.s, params.e, dtype=jnp.float32)  # (L,)
-    diff_thresh = jnp.log10(jnp.maximum(levels, 1.05)) * params.diff_base
-    masks = ((dist[None] < levels[:, None, None, None] * params.dist_base)
+    masks = ((dist[None] < dist_thresh[:, None, None, None])
              & (depth_diff[None] < diff_thresh[:, None, None, None]))
     # (L,S,H,W)
-
-    top_mask = masks[-1]                                # level e-1 per src
-    counts = jnp.sum(masks.astype(jnp.int32), axis=1)   # (L,H,W)
+    top_mask = masks[-1]
+    counts = jnp.sum(masks.astype(jnp.int32), axis=1)          # (L,H,W)
     geo_mask = jnp.any(counts >= levels[:, None, None], axis=0)
-    geo_mask = geo_mask | (jnp.sum(top_mask.astype(jnp.int32), 0) >= params.e)
+    geo_mask = geo_mask | (jnp.sum(top_mask.astype(jnp.int32), 0)
+                           >= vote_over)
 
     depth_sum = jnp.sum(jnp.where(top_mask, depth_rep, 0.0), axis=0)
     n_pass = jnp.sum(top_mask.astype(jnp.float32), axis=0)
     fused = (depth_sum + depth_ref) / (n_pass + 1.0)
+    return geo_mask, fused
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def consistency(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
+                E_srcs, params: DypcdParams = DypcdParams()):
+    """DTU dypcd fusion for one reference view.
+
+    depth_srcs: (S,H,W); K_srcs/E_srcs: (S,3,3)/(S,4,4).
+    Returns (final_mask (H,W) bool, fused_depth (H,W), geo_mask, photo_mask).
+    """
+    depth_rep, x_rep, y_rep = jax.vmap(
+        lambda d, K, E: _reproject_one(depth_ref, K_ref, E_ref, d, K, E)
+    )(depth_srcs, K_srcs, E_srcs)                      # each (S,H,W)
+
+    levels = jnp.arange(params.s, params.e, dtype=jnp.float32)  # (L,)
+    geo_mask, fused = _dynamic_ladder(
+        depth_ref, depth_rep, x_rep, y_rep, levels,
+        levels * params.dist_base,
+        jnp.log10(jnp.maximum(levels, 1.05)) * params.diff_base,
+        vote_over=params.e)
     fused = jnp.where(conf_ref > params.conf_override, depth_ref, fused)
 
     photo_mask = conf_ref > params.conf_thresh
+    return photo_mask & geo_mask, fused, geo_mask, photo_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class TankParams:
+    """Per-scene Tanks&Temples filter config (reference
+    test_tank.py:600-615 `filter_dict_tank8_test`)."""
+    views: int = 11
+    dh_view_num: int = 2
+    dist_filter: float = 2.0
+    depth_filter: float = 6000.0
+    prob_threshold: float = 0.5
+    relative: bool = False
+
+
+# Deployed per-scene configs.
+TANK_FILTER_CONFIGS = {
+    **{s: TankParams() for s in
+       ("Family", "Francis", "Lighthouse", "M60", "Panther", "Playground",
+        "Train")},
+    "Horse": TankParams(dist_filter=4, prob_threshold=0.3),
+    "Auditorium": TankParams(dist_filter=1, depth_filter=500,
+                             prob_threshold=0.3),
+    **{s: TankParams(dist_filter=1, depth_filter=1600, prob_threshold=0.3)
+       for s in ("Ballroom", "Courtroom", "Museum", "Palace", "Temple")},
+}
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def consistency_tank(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
+                     E_srcs, params: TankParams = TankParams()):
+    """T&T dynamic fusion for one reference view (reference
+    misc/fusion.py:117-181 + test_tank.py:455-530): threshold ladder
+    i in [dh_view_num, S+1) with dist < i/dist_filter and
+    depth_diff < i/depth_filter; no high-confidence override."""
+    S = depth_srcs.shape[0]
+    if S < params.dh_view_num + 1:
+        # too few source views to ever satisfy the vote (the reference
+        # driver skips these refs, test_tank.py:482-483)
+        zeros = jnp.zeros_like(depth_ref, dtype=bool)
+        return zeros, depth_ref, zeros, conf_ref > params.prob_threshold
+    depth_rep, x_rep, y_rep = jax.vmap(
+        lambda d, K, E: _reproject_one(depth_ref, K_ref, E_ref, d, K, E)
+    )(depth_srcs, K_srcs, E_srcs)
+
+    levels = jnp.arange(params.dh_view_num, S + 1, dtype=jnp.float32)
+    geo_mask, fused = _dynamic_ladder(
+        depth_ref, depth_rep, x_rep, y_rep, levels,
+        levels / params.dist_filter, levels / params.depth_filter,
+        vote_over=S + 1, relative=params.relative)
+
+    photo_mask = conf_ref > params.prob_threshold
     return photo_mask & geo_mask, fused, geo_mask, photo_mask
 
 

@@ -44,16 +44,18 @@ def read_ply(path):
         fmt = None
         n = 0
         props = []
+        in_vertex = False
         while True:
             line = f.readline().strip()
             if line.startswith(b"format"):
                 fmt = line.split()[1].decode()
             elif line.startswith(b"element vertex"):
                 n = int(line.split()[-1])
+                in_vertex = True
             elif line.startswith(b"element"):
-                # ignore later elements (faces) — read vertices only
-                pass
-            elif line.startswith(b"property") and n and not props_done(props, line):
+                in_vertex = False   # later elements (faces): vertices only
+            elif line.startswith(b"property") and in_vertex \
+                    and not props_done(props, line):
                 toks = line.split()
                 props.append((toks[-1].decode(), toks[1].decode()))
             elif line == b"end_header":
