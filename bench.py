@@ -15,7 +15,7 @@ import numpy as np
 
 BASELINE_MAPS_PER_S = 0.0101  # measured reference fwd, this machine (CPU)
 
-H, W, V, B = 864, 1152, 5, 2
+H, W, V, B = 864, 1152, 5, 1
 WARMUP, ITERS = 2, 16
 
 

@@ -264,7 +264,8 @@ class BlendedMVSDataset:
         for scan in _read_scan_list(listfile):
             pair_path = os.path.join(datapath, scan, "cams", "pair.txt")
             for ref, srcs in camio.read_pair_file(pair_path):
-                if len(srcs) >= nviews - 1:
+                # reference blend.py:48-64 drops refs with <7 sources
+                if len(srcs) >= 7:
                     self.metas.append((scan, ref, srcs))
 
     def __len__(self):

@@ -25,6 +25,15 @@ def load_reference_models():
     sub*modules* (the package __init__ shadows `Effi_MVS_plus` with the
     class) and ``.Effi_MVS_plus_cls`` to the model class."""
     import types
+    if "torchvision" not in sys.modules:  # reference data_io pulls it in
+        tv = types.ModuleType("torchvision")
+        tf = types.ModuleType("torchvision.transforms")
+        tf.Compose = lambda *a, **k: None
+        tf.ToTensor = lambda *a, **k: None
+        tf.Normalize = lambda *a, **k: None
+        tv.transforms = tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tf
     if "models" not in sys.modules:
         stub = types.ModuleType("utils")
         stub.local_pcd = lambda *a, **k: None
