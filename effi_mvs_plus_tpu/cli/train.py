@@ -95,10 +95,18 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
 
     ds_cls = find_dataset(args.dataset)
-    train_ds = ds_cls(args.trainpath, args.trainlist, "train",
-                      args.trainviews, args.numdepth)
     test_ds = ds_cls(args.testpath or args.trainpath, args.testlist, "test",
                      args.testviews, args.numdepth)
+
+    if args.mode == "test":
+        return run_test(args, cfg, rng, test_ds)
+    if args.mode == "profile":
+        return run_profile(args, cfg, rng, test_ds)
+    if args.mode == "finetune" and not args.loadckpt:
+        raise SystemExit("--mode finetune requires --loadckpt")
+
+    train_ds = ds_cls(args.trainpath, args.trainlist, "train",
+                      args.trainviews, args.numdepth)
     train_loader = Loader(train_ds, args.batch_size, shuffle=True,
                           num_workers=args.num_workers, drop_last=True,
                           seed=args.seed)
@@ -159,6 +167,75 @@ def main(argv=None):
         print(f"epoch {epoch} eval: " +
               " ".join(f"{k}={v:.4f}" for k, v in meter.mean().items()) +
               f" ({time.time() - t_epoch:.1f}s)", flush=True)
+
+
+def run_test(args, cfg, rng, test_ds):
+    """Standalone metric run over the eval split (reference --mode test,
+    train.py:213-226)."""
+    import jax
+    from effi_mvs_plus_tpu.data.loader import Loader
+    from effi_mvs_plus_tpu.parallel import fit_data_mesh, replicate, shard_batch
+    from effi_mvs_plus_tpu.train import trainer as T
+
+    params, _, _ = load_initial_params(args, cfg, rng)
+    mesh = fit_data_mesh(args.batch_size)
+    params = replicate(params, mesh)
+    eval_step = T.make_eval_step(cfg)
+    meter = T.DictMeter()
+    loader = Loader(test_ds, args.batch_size,
+                    num_workers=args.num_workers)
+    for batch in loader:
+        batch.pop("filename", None)
+        batch = shard_batch(batch, mesh)
+        m, _ = eval_step(params, batch)
+        meter.update({k: float(v) for k, v in m.items()})
+    print("test: " + " ".join(f"{k}={v:.4f}"
+                              for k, v in meter.mean().items()), flush=True)
+    return meter.mean()
+
+
+def run_profile(args, cfg, rng, test_ds):
+    """Timed + traced iterations (reference --mode profile,
+    train.py:355-383): warmup, fenced wall-clock per step, then a
+    jax.profiler device trace to `logdir`/trace."""
+    import jax
+    from effi_mvs_plus_tpu.data.loader import Loader
+    from effi_mvs_plus_tpu.parallel import fit_data_mesh, replicate, shard_batch
+    from effi_mvs_plus_tpu.train import trainer as T
+    from effi_mvs_plus_tpu.train.optim import make_optimizer
+    from effi_mvs_plus_tpu.utils.profiling import Timer, profile_trace
+
+    params, _, _ = load_initial_params(args, cfg, rng)
+    optimizer, _ = make_optimizer(args.lr, 1000, weight_decay=args.wd,
+                                  params=params)
+    opt_state = optimizer.init(params)
+    mesh = fit_data_mesh(args.batch_size)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    train_step = T.make_train_step(cfg, optimizer, args.lossrate)
+
+    loader = Loader(test_ds, args.batch_size, num_workers=args.num_workers)
+    batch = next(iter(loader))
+    batch.pop("filename", None)
+    batch = shard_batch(batch, mesh)
+    sub = jax.random.PRNGKey(0)
+
+    state = {"params": params, "opt_state": opt_state}
+
+    def one_step():
+        state["params"], state["opt_state"], metrics = train_step(
+            state["params"], state["opt_state"], batch, sub)
+        return metrics["loss"]
+
+    dt = Timer(lambda: one_step(), warmup=3, iters=5).measure()
+    print(f"profile: {dt * 1e3:.1f} ms/step "
+          f"({args.batch_size / dt:.2f} samples/s)", flush=True)
+    trace_dir = os.path.join(args.logdir, "trace")
+    with profile_trace(trace_dir):
+        one_step()
+        float(jax.device_get(state["params"]["PixelwiseNet"]["3"]["bias"][0]))
+    print(f"trace written to {trace_dir}", flush=True)
+    return dt
 
 
 if __name__ == "__main__":

@@ -35,9 +35,14 @@ def _imread(path):
 
 
 def _resize(img, wh, nearest=False):
+    from effi_mvs_plus_tpu import native
+    if native.available():
+        out = native.resize(np.asarray(img, np.float32), wh, nearest=nearest)
+        if out is not None:
+            return out
     import cv2
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-    return cv2.resize(img, wh, interpolation=interp)
+    return cv2.resize(np.asarray(img, np.float32), wh, interpolation=interp)
 
 
 def _gt_pyramid(arr):

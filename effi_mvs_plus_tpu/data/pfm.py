@@ -14,7 +14,13 @@ import numpy as np
 
 
 def read_pfm(path):
-    """Returns (data (H,W) or (H,W,3) float32, scale)."""
+    """Returns (data (H,W) or (H,W,3) float32, scale).
+
+    Uses the native codec (effi_mvs_plus_tpu.native) when built; the pure
+    numpy path below is the always-available fallback."""
+    from effi_mvs_plus_tpu import native
+    if native.available():
+        return native.pfm_read(path)
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -37,6 +43,9 @@ def read_pfm(path):
 
 
 def save_pfm(path, image, scale=1.0):
+    from effi_mvs_plus_tpu import native
+    if native.available() and native.pfm_write(path, image, scale):
+        return
     image = np.asarray(image, dtype=np.float32)
     if image.ndim == 3 and image.shape[2] == 3:
         color = True

@@ -20,6 +20,9 @@ def write_ply(path, xyz, rgb=None):
     if rgb is None:
         rgb = np.full((n, 3), 255, np.uint8)
     rgb = np.asarray(rgb, dtype=np.uint8)
+    from effi_mvs_plus_tpu import native
+    if native.available() and native.ply_write(path, xyz, rgb):
+        return
     rec = np.empty(n, dtype=_VERTEX_DTYPE)
     rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]

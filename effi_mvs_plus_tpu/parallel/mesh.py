@@ -40,6 +40,16 @@ def make_mesh(data: int = None, model: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def fit_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """Largest data-parallel mesh whose 'data' axis divides batch_size
+    (inference/eval batches can be smaller than the device count)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(data=n, model=1, devices=devices[:n])
+
+
 def shard_batch(batch, mesh: Mesh):
     """device_put a host batch with the leading axis split over 'data'."""
     def put(x):

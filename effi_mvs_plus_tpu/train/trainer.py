@@ -99,9 +99,24 @@ class DictMeter:
         return {k: v / max(self.count, 1) for k, v in self.sums.items()}
 
 
-def save_checkpoint(path, params, opt_state, epoch):
-    """Orbax-free fallback: a compressed npz of flattened leaves with a
-    pickled treedef is fragile; instead store params as nested npz keys."""
+def save_checkpoint(path, params, opt_state, epoch, use_orbax=None):
+    """Persist params + optimizer state + epoch.
+
+    Prefers orbax-checkpoint (async-capable, sharded-array aware — the
+    TPU-native replacement for torch.save, SURVEY §5.4); falls back to a
+    pickle payload when orbax is unavailable.  A `.ckpt` file path selects
+    the pickle format; a directory path (or use_orbax=True) selects orbax.
+    """
+    if use_orbax is None:
+        use_orbax = not path.endswith(".ckpt")
+    if use_orbax:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        payload = {"params": params, "opt_state": opt_state,
+                   "epoch": np.asarray(epoch)}
+        ckptr.save(os.path.abspath(path), payload, force=True)
+        ckptr.wait_until_finished()
+        return
     import pickle
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
@@ -115,15 +130,28 @@ def save_checkpoint(path, params, opt_state, epoch):
 
 
 def load_checkpoint(path):
+    """Load either format: orbax directory or pickle file."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(os.path.abspath(path))
+        payload["epoch"] = int(np.asarray(payload["epoch"]))
+        return payload
     import pickle
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
 def latest_checkpoint(logdir):
+    """Highest-epoch checkpoint in logdir: `model_NNNNNN.ckpt` pickles or
+    `model_NNNNNN` orbax directories (reference resume rule
+    train.py:446-456)."""
     if not os.path.isdir(logdir):
         return None
-    cands = [f for f in os.listdir(logdir) if f.endswith(".ckpt")]
+    cands = [f for f in os.listdir(logdir)
+             if f.endswith(".ckpt")
+             or (f.startswith("model_")
+                 and os.path.isdir(os.path.join(logdir, f)))]
     if not cands:
         return None
     cands.sort(key=lambda x: int(x.split("_")[-1].split(".")[0]))

@@ -8,6 +8,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
+# The jaxtyping pytest plugin imports jax before this conftest runs, so the
+# env var above is snapshotted too late — force the platform through the
+# live config as well (valid until the backend is first used).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() >= 8, (
+    "virtual 8-device CPU mesh missing; XLA_FLAGS set too late")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_DIR = "/root/reference"
