@@ -84,12 +84,19 @@ def load_initial_params(args, cfg, rng):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+    from effi_mvs_plus_tpu import parallel
     from effi_mvs_plus_tpu.data import find_dataset
     from effi_mvs_plus_tpu.data.loader import Loader
-    from effi_mvs_plus_tpu.parallel import (make_mesh, shard_batch,
-                                            replicate)
+    from effi_mvs_plus_tpu.parallel import (global_mesh, host_local_batch,
+                                            is_main, mean_metrics, replicate)
     from effi_mvs_plus_tpu.train import trainer as T
     from effi_mvs_plus_tpu.train.optim import make_optimizer
+
+    # multi-host rendezvous (no-op unless the env describes a multi-process
+    # job — SURVEY §5.8's jax.distributed equivalent of init_method='env://')
+    if parallel.initialize():
+        print(f"process {jax.process_index()}/{jax.process_count()} up; "
+              f"{len(jax.devices())} global devices")
 
     cfg = make_config(args)
     rng = jax.random.PRNGKey(args.seed)
@@ -107,11 +114,20 @@ def main(argv=None):
 
     train_ds = ds_cls(args.trainpath, args.trainlist, "train",
                       args.trainviews, args.numdepth)
+    # per-process loaders: each host reads its own 1/num_processes shard of
+    # the sample stream (the DistributedSampler analogue); batch_size is the
+    # per-host batch, global batch = batch_size * process_count.
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    train_view = (parallel.partition(range(len(train_ds)), n_proc, pid)
+                  if n_proc > 1 else None)
     train_loader = Loader(train_ds, args.batch_size, shuffle=True,
                           num_workers=args.num_workers, drop_last=True,
-                          seed=args.seed)
+                          seed=args.seed, indices=train_view)
+    test_view = (parallel.partition(range(len(test_ds)), n_proc, pid)
+                 if n_proc > 1 else None)
     test_loader = Loader(test_ds, args.batch_size, shuffle=False,
-                         num_workers=args.num_workers)
+                         num_workers=args.num_workers, indices=test_view)
 
     params, start_epoch, opt_state = load_initial_params(args, cfg, rng)
     n_params = sum(int(np.prod(x.shape))
@@ -125,9 +141,12 @@ def main(argv=None):
     if opt_state is None:
         opt_state = optimizer.init(params)
 
-    n_dev = args.data_parallel or len(jax.devices())
-    mesh = make_mesh(data=n_dev, model=1,
-                     devices=jax.devices()[:n_dev])
+    if args.data_parallel:
+        from effi_mvs_plus_tpu.parallel import make_mesh
+        mesh = make_mesh(data=args.data_parallel, model=1,
+                         devices=jax.devices()[:args.data_parallel])
+    else:
+        mesh = global_mesh()
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
 
@@ -140,19 +159,19 @@ def main(argv=None):
         t_epoch = time.time()
         for i, batch in enumerate(train_loader):
             batch.pop("filename", None)
-            batch = shard_batch(batch, mesh)
+            batch = host_local_batch(batch, mesh)
             step_rng, sub = jax.random.split(step_rng)
             params, opt_state, metrics = train_step(params, opt_state,
                                                     batch, sub)
             gstep += 1
-            if i % args.summary_freq == 0:
+            if i % args.summary_freq == 0 and is_main():
                 m = {k: float(v) for k, v in metrics.items()
                      if not k.startswith("l")}
                 print(f"epoch {epoch} iter {i}/{len(train_loader)} "
                       f"lr {float(sched(gstep)):.2e} " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()),
                       flush=True)
-        if epoch % args.save_freq == 0:
+        if epoch % args.save_freq == 0 and is_main():
             path = os.path.join(args.logdir, f"model_{epoch:06d}.ckpt")
             T.save_checkpoint(path, jax.device_get(params),
                               jax.device_get(opt_state), epoch)
@@ -161,12 +180,14 @@ def main(argv=None):
         meter = T.DictMeter()
         for batch in test_loader:
             batch.pop("filename", None)
-            batch = shard_batch(batch, mesh)
+            batch = host_local_batch(batch, mesh)
             m, _ = eval_step(params, batch)
             meter.update({k: float(v) for k, v in m.items()})
-        print(f"epoch {epoch} eval: " +
-              " ".join(f"{k}={v:.4f}" for k, v in meter.mean().items()) +
-              f" ({time.time() - t_epoch:.1f}s)", flush=True)
+        means = mean_metrics(meter.mean())
+        if is_main():
+            print(f"epoch {epoch} eval: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in means.items()) +
+                  f" ({time.time() - t_epoch:.1f}s)", flush=True)
 
 
 def run_test(args, cfg, rng, test_ds):

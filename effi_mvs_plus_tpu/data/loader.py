@@ -34,7 +34,10 @@ class Loader:
     """Iterable over collated batches with background prefetch."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
-                 drop_last=False, seed=0, prefetch=4):
+                 drop_last=False, seed=0, prefetch=4, indices=None):
+        """``indices`` restricts iteration to a subset of the dataset —
+        the per-process shard in multi-host training (the
+        DistributedSampler analogue, reference train.py:493-501)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,16 +45,22 @@ class Loader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.indices = None if indices is None else np.asarray(list(indices))
         self._epoch = 0
 
+    def _n_samples(self):
+        return (len(self.dataset) if self.indices is None
+                else len(self.indices))
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._n_samples()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self):
-        idx = np.arange(len(self.dataset))
+        idx = (np.arange(len(self.dataset)) if self.indices is None
+               else self.indices.copy())
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)

@@ -86,14 +86,14 @@ def pfm_read(path):
     little = ctypes.c_int()
     off = ctypes.c_long()
     scale = ctypes.c_float()
-    rc = lib.effi_pfm_header(path.encode(), ctypes.byref(w), ctypes.byref(h),
+    rc = lib.effi_pfm_header(os.fspath(path).encode(), ctypes.byref(w), ctypes.byref(h),
                              ctypes.byref(ch), ctypes.byref(little),
                              ctypes.byref(off), ctypes.byref(scale))
     if rc != 0:
         raise OSError(f"PFM header parse failed ({rc}): {path}")
     shape = (h.value, w.value, 3) if ch.value == 3 else (h.value, w.value)
     out = np.empty(shape, np.float32)
-    rc = lib.effi_pfm_read(path.encode(), _fptr(out))
+    rc = lib.effi_pfm_read(os.fspath(path).encode(), _fptr(out))
     if rc != 0:
         raise OSError(f"PFM read failed ({rc}): {path}")
     return out, float(scale.value)
@@ -108,7 +108,7 @@ def pfm_write(path, image, scale=1.0):
     ch = 3 if img.ndim == 3 and img.shape[2] == 3 else 1
     if ch == 1:
         img = img.reshape(img.shape[0], img.shape[1])
-    rc = lib.effi_pfm_write(path.encode(), _fptr(img), img.shape[1],
+    rc = lib.effi_pfm_write(os.fspath(path).encode(), _fptr(img), img.shape[1],
                             img.shape[0], ch, float(scale))
     if rc != 0:
         raise OSError(f"PFM write failed ({rc}): {path}")
@@ -140,10 +140,10 @@ def ply_write(path, xyz, rgb=None):
     if rgb is not None:
         rgb = np.ascontiguousarray(rgb, np.uint8)
         rc = lib.effi_ply_write(
-            path.encode(), _fptr(xyz),
+            os.fspath(path).encode(), _fptr(xyz),
             rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
     else:
-        rc = lib.effi_ply_write(path.encode(), _fptr(xyz), None, n)
+        rc = lib.effi_ply_write(os.fspath(path).encode(), _fptr(xyz), None, n)
     if rc != 0:
         raise OSError(f"PLY write failed ({rc}): {path}")
     return True

@@ -2,7 +2,8 @@
 
 Times each model component in isolation (own jit, fenced by a scalar host
 readback — block_until_ready is unreliable over the axon relay) so Pallas /
-layout work targets the real hot spot. Run on the TPU:
+layout work targets the real hot spot.  Segments print as they complete
+(relay compiles run minutes each; partial output survives a timeout).
 
     python scripts/profile_segments.py [--height 864 --width 1152 --views 5]
 """
@@ -19,9 +20,11 @@ sys.path.insert(0, "/root/repo")
 def timeit(fn, *args, warmup=2, iters=8):
     """Dispatch `iters` times, fence once — relay RTT amortises."""
     import jax
+    import jax.numpy as jnp
 
     def _fence(r):
-        return float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        leaf = jax.tree.leaves(r)[0]
+        return float(jax.device_get(jnp.sum(leaf)))
 
     for _ in range(warmup):
         _fence(fn(*args))
@@ -33,6 +36,10 @@ def timeit(fn, *args, warmup=2, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def report(name, seconds):
+    print(f"{name:48s} {seconds * 1e3:9.2f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=864)
@@ -40,16 +47,17 @@ def main():
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--skip_full", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from effi_mvs_plus_tpu import nn, ops
+    from effi_mvs_plus_tpu import ops
     from effi_mvs_plus_tpu.core import geometry
     from effi_mvs_plus_tpu.models import EffiMVSConfig, forward, init_params
     from effi_mvs_plus_tpu.models import blocks
 
-    print("devices:", jax.devices())
+    print("devices:", jax.devices(), flush=True)
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = EffiMVSConfig(compute_dtype=dt)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -61,14 +69,35 @@ def main():
     h2, w2 = H // 4, W // 4
     h3, w3 = H // 2, W // 2
 
-    results = {}
+    # ---------- full forward first: the headline ----------
+    if not args.skip_full:
+        from effi_mvs_plus_tpu.data import cams as camio
+        intr = np.array([[W / 2, 0, W / 16], [0, W / 2, H / 16], [0, 0, 1]],
+                        np.float32)
+        exts = [np.eye(4, dtype=np.float32)]
+        for v in range(1, V):
+            E = np.eye(4, dtype=np.float32)
+            a = 0.02 * v
+            c, s_ = np.cos(a), np.sin(a)
+            E[:3, :3] = np.array([[c, 0, s_], [0, 1, 0], [-s_, 0, c]],
+                                 np.float32)
+            E[:3, 3] = [15.0 * v, 4.0 * v, 2.0 * v]
+            exts.append(E)
+        projs = [camio.stage_proj_matrices(E, intr) for E in exts]
+        proj_ms = {k: jnp.asarray(np.broadcast_to(
+            np.stack([p[k] for p in projs])[None], (B, V, 2, 4, 4)))
+            for k in ("stage1", "stage2", "stage3")}
+        dvv = jnp.asarray(np.broadcast_to(
+            camio.inverse_depth_values(425.0, 2.5 * 0.53, 384)[None],
+            (B, 384)))
+        full = jax.jit(lambda i, p1, p2, p3, d: forward(
+            params, i, {"stage1": p1, "stage2": p2, "stage3": p3}, d, cfg)[
+                "depth"][-1])
+        report("FULL forward", timeit(
+            full, imgs, proj_ms["stage1"], proj_ms["stage2"],
+            proj_ms["stage3"], dvv, warmup=2, iters=6))
 
-    # --- feature net over all views ---
-    fe = jax.jit(lambda x: blocks.feature_net(x, params["feature"]))
-    results["feature_net(all views)"] = timeit(
-        fe, imgs.reshape(B * V, H, W, 3))
-
-    # --- stage1: one warp_correlate (x V-1 in model) ---
+    # ---------- stage-1 sweep ----------
     ref = jax.random.uniform(key, (B, h1, w1, 32), dt)
     src = jax.random.uniform(key, (B, h1, w1, 32), dt)
     rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3)) \
@@ -78,40 +107,18 @@ def main():
         jnp.linspace(425., 935., 48, dtype=jnp.float32)[None, :, None, None],
         (B, 48, h1, w1)).astype(dt)
     wc = jax.jit(lambda *a: ops.warp_correlate(*a, groups=1))
-    results[f"warp_correlate D=48 {h1}x{w1} (x{V-1})"] = timeit(
-        wc, ref, src, rot, tr, depth48)
+    report(f"warp_correlate D=48 {h1}x{w1} (x{V-1})",
+           timeit(wc, ref, src, rot, tr, depth48))
 
-    # --- stage1: cost regularisation 3D U-Net ---
     vol = jax.random.uniform(key, (B, 48, h1, w1, 1), dt)
-    cr = jax.jit(lambda v: blocks.cost_reg_net(v, params["cost_regularization"]))
-    results[f"cost_reg_net (48,{h1},{w1})"] = timeit(cr, vol)
+    cr = jax.jit(
+        lambda v: blocks.cost_reg_net(v, params["cost_regularization"]))
+    report(f"cost_reg_net (48,{h1},{w1})", timeit(cr, vol))
 
-    # --- stage 2/3 fresh volumes (D=8) ---
-    for s, (hs, ws, c) in enumerate([(h2, w2, 16), (h3, w3, 8)], start=2):
-        refs = jax.random.uniform(key, (B, hs, ws, c), dt)
-        srcs = jax.random.uniform(key, (B, hs, ws, c), dt)
-        d8 = jnp.broadcast_to(
-            jnp.linspace(425., 935., 8, dtype=jnp.float32)[None, :, None, None],
-            (B, 8, hs, ws)).astype(dt)
-        results[f"warp_correlate D=8 {hs}x{ws} (x{V-1}) s{s}"] = timeit(
-            wc, refs, srcs, rot, tr, d8)
+    fe = jax.jit(lambda x: blocks.feature_net(x, params["feature"]))
+    report("feature_net(all views)", timeit(fe, imgs.reshape(B * V, H, W, 3)))
 
-    # --- CSP block (stage2 shape) ---
-    fresh = jax.random.uniform(key, (B, 8, h2, w2, 1), dt)
-    low = jax.random.uniform(key, (B, 8, h2 // 2, w2 // 2, 1), dt)
-    csp = jax.jit(lambda a, b: blocks.csp_block(a, b, params["CSP_R1"]))
-    results[f"csp_block (8,{h2},{w2})"] = timeit(csp, fresh, low)
-
-    # --- volume resample (GRU cost lookup), per stage ---
-    for s, (hs, ws) in enumerate([(h1, w1), (h2, w2), (h3, w3)], start=1):
-        volD = jax.random.uniform(key, (B, 48 if s == 1 else 8, hs, ws),
-                                  jnp.float32)
-        x = jax.random.uniform(key, (B, 3, hs, ws), jnp.float32) * 7
-        rs = jax.jit(ops.resample_depth_axis)
-        results[f"resample K=3 D={volD.shape[1]} {hs}x{ws} s{s}"] = timeit(
-            rs, volD, x)
-
-    # --- GRU update block per stage (3 iters incl. cost lookups) ---
+    # ---------- GRU update blocks ----------
     for s, (hs, ws) in enumerate([(h1, w1), (h2, w2), (h3, w3)]):
         hd, cd = cfg.hdim_stage[s], cfg.cdim_stage[s]
         hid = jax.random.uniform(key, (B, hs, ws, hd), dt)
@@ -121,11 +128,10 @@ def main():
                                   jnp.float32)
         p = params[f"update_block_depth{s + 1}"]
 
-        def mk(hid, ctxf, inv_d, volD, p=p, s=s, hs=hs, ws=ws):
+        def mk(hid, ctxf, inv_d, volD, p=p, s=s):
             def get_cost(depth, it):
                 dv = 1.0 / depth[..., 0]
-                drs = geometry.depth_range_samples_local(
-                    dv, cfg.CostNum, 1.0)
+                drs = geometry.depth_range_samples_local(dv, cfg.CostNum, 1.0)
                 ds = 1.0 / drs
                 c1 = ops.resample_volume_at_depths(volD, ds, 400., 960.)
                 return jnp.concatenate([c1, c1], axis=1).transpose(
@@ -138,58 +144,32 @@ def main():
                                        cfg.gru_iters[s], scale4)
 
         ub = jax.jit(lambda *a, _mk=mk: _mk(*a)[1])
-        results[f"update_block s{s+1} {hs}x{ws} hdim={hd}"] = timeit(
-            ub, hid, ctxf, inv_d, volD)
+        report(f"update_block s{s+1} {hs}x{ws} hdim={hd}",
+               timeit(ub, hid, ctxf, inv_d, volD))
 
-    # --- convex upsample (stage3 -> full res) ---
+    # ---------- stage 2/3 fresh volumes ----------
+    for s, (hs, ws, c) in enumerate([(h2, w2, 16), (h3, w3, 8)], start=2):
+        refs = jax.random.uniform(key, (B, hs, ws, c), dt)
+        srcs = jax.random.uniform(key, (B, hs, ws, c), dt)
+        d8 = jnp.broadcast_to(
+            jnp.linspace(425., 935., 8, dtype=jnp.float32)[None, :, None,
+                                                           None],
+            (B, 8, hs, ws)).astype(dt)
+        report(f"warp_correlate D=8 {hs}x{ws} (x{V-1}) s{s}",
+               timeit(wc, refs, srcs, rot, tr, d8))
+
+    # ---------- CSP + upsample ----------
+    fresh = jax.random.uniform(key, (B, 8, h2, w2, 1), dt)
+    low = jax.random.uniform(key, (B, 8, h2 // 2, w2 // 2, 1), dt)
+    csp = jax.jit(lambda a, b: blocks.csp_block(a, b, params["CSP_R1"]))
+    report(f"csp_block (8,{h2},{w2})", timeit(csp, fresh, low))
+
     val = jax.random.uniform(key, (B, h3, w3), jnp.float32)
     msk = jax.random.uniform(key, (B, h3, w3, 36), jnp.float32)
     cu = jax.jit(lambda v, m: ops.convex_upsample(v, m, 2))
-    results[f"convex_upsample {h3}x{w3}->x2"] = timeit(cu, val, msk)
+    report(f"convex_upsample {h3}x{w3}->x2", timeit(cu, val, msk))
 
-    # --- full forward ---
-    from effi_mvs_plus_tpu.data import cams as camio
-    intr = np.array([[W / 2, 0, W / 16], [0, W / 2, H / 16], [0, 0, 1]],
-                    np.float32)
-    exts = [np.eye(4, dtype=np.float32)]
-    for v in range(1, V):
-        E = np.eye(4, dtype=np.float32)
-        a = 0.02 * v
-        c, s_ = np.cos(a), np.sin(a)
-        E[:3, :3] = np.array([[c, 0, s_], [0, 1, 0], [-s_, 0, c]], np.float32)
-        E[:3, 3] = [15.0 * v, 4.0 * v, 2.0 * v]
-        exts.append(E)
-    projs = [camio.stage_proj_matrices(E, intr) for E in exts]
-    proj_ms = {k: jnp.asarray(np.broadcast_to(
-        np.stack([p[k] for p in projs])[None], (B, V, 2, 4, 4)))
-        for k in ("stage1", "stage2", "stage3")}
-    dv = jnp.asarray(np.broadcast_to(
-        camio.inverse_depth_values(425.0, 2.5 * 0.53, 384)[None], (B, 384)))
-    full = jax.jit(lambda i, p1, p2, p3, d: forward(
-        params, i, {"stage1": p1, "stage2": p2, "stage3": p3}, d, cfg)[
-            "depth"][-1])
-    results["FULL forward"] = timeit(
-        full, imgs, proj_ms["stage1"], proj_ms["stage2"], proj_ms["stage3"],
-        dv, warmup=2, iters=6)
-
-    print(f"\n== segment timings  B={B} V={V} {H}x{W} {args.dtype} ==")
-    total_acc = 0.0
-    for k, v in results.items():
-        print(f"{k:48s} {v * 1e3:9.2f} ms")
-    warp1 = results[f"warp_correlate D=48 {h1}x{w1} (x{V-1})"] * (V - 1)
-    warp23 = sum(results[f"warp_correlate D=8 {hs}x{ws} (x{V-1}) s{s}"]
-                 * (V - 1) for s, (hs, ws) in
-                 [(2, (h2, w2)), (3, (h3, w3))])
-    est = (results["feature_net(all views)"] + warp1 + warp23
-           + results[f"cost_reg_net (48,{h1},{w1})"]
-           + 4 * results[f"csp_block (8,{h2},{w2})"]
-           + sum(results[f"update_block s{s} {hs}x{ws} hdim={hd}"]
-                 for s, (hs, ws, hd) in [(1, (h1, w1, 48)),
-                                         (2, (h2, w2, 32)),
-                                         (3, (h3, w3, 16))])
-           + 3 * results[f"convex_upsample {h3}x{w3}->x2"])
-    print(f"{'sum of weighted segments':48s} {est * 1e3:9.2f} ms")
-    print(f"{'FULL forward':48s} {results['FULL forward'] * 1e3:9.2f} ms")
+    print("done", flush=True)
 
 
 if __name__ == "__main__":
