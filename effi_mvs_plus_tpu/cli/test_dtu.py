@@ -122,6 +122,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     with open(args.testlist) as f:
         scans = [ln.strip() for ln in f if ln.strip()]
+    # multi-host scene parallelism: each process owns a round-robin share
+    # of the scans (inference + fusion are per-scan independent, SURVEY
+    # §2.5); single process sees every scan.
+    from effi_mvs_plus_tpu import parallel
+    if parallel.initialize():
+        import jax
+        scans = parallel.partition(scans)
+        print(f"process {jax.process_index()}: {len(scans)} scans")
     if not args.skip_depth:
         save_depths(args, scans)
     if not args.skip_fusion:

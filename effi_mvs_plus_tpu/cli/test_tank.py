@@ -130,6 +130,12 @@ def fuse_scene_tank(args, scene):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # multi-host scene parallelism (same partitioning as test_dtu)
+    from effi_mvs_plus_tpu import parallel
+    if parallel.initialize():
+        import jax
+        args.scenes = parallel.partition(args.scenes)
+        print(f"process {jax.process_index()}: scenes {args.scenes}")
     if not args.skip_depth:
         save_depths(args)
     if not args.skip_fusion:
