@@ -60,6 +60,11 @@ class EffiMVSConfig:
     feat_ratio: Tuple[int, ...] = (2, 2, 2)
     num_stage: int = 3
     compute_dtype: jnp.dtype = jnp.float32
+    # warp+correlate implementation: 'auto' = pallas kernel on TPU, XLA
+    # gather elsewhere; 'pallas' / 'xla' force.  The pallas kernel assumes
+    # calibrated-rig geometry (bounded epipolar support — validate with
+    # ops.pallas_warp.region_fits for unusual camera setups).
+    warp_impl: str = "auto"
 
 
 def _bshape(x, ndim):
@@ -70,6 +75,19 @@ def _bshape(x, ndim):
 
 def _repeat2x_hw(x, h_axis, w_axis):
     return jnp.repeat(jnp.repeat(x, 2, axis=h_axis), 2, axis=w_axis)
+
+
+def _warp_correlate(cfg, ref_fea, src_fea, rot, trans, depth):
+    """Dispatch warp+correlation to the pallas kernel or the XLA gather
+    path per cfg.warp_impl ('auto' = pallas on TPU backends)."""
+    impl = cfg.warp_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and cfg.G == 1:
+        from effi_mvs_plus_tpu.ops import pallas_warp
+        return pallas_warp.warp_correlate_fused(ref_fea, src_fea, rot,
+                                                trans, depth, cfg.G)
+    return ops.warp_correlate(ref_fea, src_fea, rot, trans, depth, cfg.G)
 
 
 def forward(params, imgs, proj_matrices, depth_values,
@@ -135,8 +153,8 @@ def forward(params, imgs, proj_matrices, depth_values,
             vws = []
             for v in range(1, V):
                 rot, tr = geometry.relative_projection(P[:, v], P[:, 0])
-                sim = ops.warp_correlate(ref_fea, f[:, v], rot, tr,
-                                         depth_hyps.astype(dt), cfg.G)
+                sim = _warp_correlate(cfg, ref_fea, f[:, v], rot, tr,
+                                      depth_hyps.astype(dt))
                 s_det = lax.stop_gradient(sim[..., 0])  # (B,D,h,w), G==1
                 pnorm = jax.nn.softmax(s_det, axis=1)
                 entropy = -jnp.sum(pnorm * jnp.log(pnorm + 1e-7), axis=1)
@@ -179,8 +197,8 @@ def forward(params, imgs, proj_matrices, depth_values,
             w_sum = 0.0
             for v in range(1, V):
                 rot, tr = geometry.relative_projection(P[:, v], P[:, 0])
-                sim = ops.warp_correlate(ref_fea, f[:, v], rot, tr,
-                                         depth_samples.astype(dt), cfg.G)
+                sim = _warp_correlate(cfg, ref_fea, f[:, v], rot, tr,
+                                      depth_samples.astype(dt))
                 vw_ = view_weights[:, v - 1][:, None, :, :, None]
                 sim_sum = sim_sum + sim * vw_
                 w_sum = w_sum + vw_

@@ -1,0 +1,309 @@
+"""Pallas TPU kernel: fused plane-sweep warp + group correlation.
+
+Replaces the gather-based ``warp_correlate`` on the hot path (the
+reference's ``homo_warping_new`` + per-view correlation,
+/root/reference/models/module.py:303-344, Effi_MVS_plus.py:38-40).
+Profiled on TPU v5e, XLA's gather runs ~100x off HBM speed-of-light and is
+~2/3 of the whole forward pass (BASELINE.md) — so the sampling is
+re-expressed as matmuls, the shape the MXU wants.
+
+For one (spatial tile, depth hypothesis) the projected sample coordinates
+span a *bounded* source region (a union of short epipolar segments — the
+plane-sweep disparity range is tens of pixels).  Everything is laid out
+lane-major in P = tile pixels:
+
+1. the region (channel-packed rows ``src_packed[y*C+c, x]``) is DMA'd into
+   VMEM once per tile and *reused across depth steps* — the grid iterates
+   depth fastest and the kernel skips the copy whenever the region origin
+   is unchanged (plane-sweep origins move by a few pixels across the whole
+   sweep, so nearly all steps skip),
+2. separable bilinear weights are built on the VPU directly in their
+   matmul layouts: WxT[qc, p] and Wy[qr, p],
+3. MXU:  A[qr*C+c, p] = sum_qc region[qr*C+c, qc] * WxT[qc, p],
+4. VPU:  S[c, p]      = sum_qr A[qr*C+c, p] * Wy[qr, p]   (static sublane
+   slices),
+5. correlation: corr[1, p] = mean_c refT[c, p] * S[c, p] — a sublane
+   reduction, emitted as a full-lane row.
+
+torch-grid_sample ``zeros`` padding falls out naturally: the weight rows
+only cover real in-image pixels, so any tap outside the image contributes
+exactly zero.  Samples whose 2-tap support falls outside the *region*
+(geometry wilder than the configured margins) drop to zero — the wrapper
+anchors each region at the projected support minimum, and ``region_fits``
+validates a camera setup up front.
+
+The backward pass reuses the XLA gather/scatter path via custom_vjp (the
+projected grid is stop_gradient in the reference, module.py:313, so
+gradients flow only through ref/src features).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from effi_mvs_plus_tpu.core import geometry
+from effi_mvs_plus_tpu.ops import warp as xla_warp
+
+# Tile / region defaults (see BASELINE.md profile; margins sized for the
+# DTU/T&T camera geometry — ~12 px disparity span at 1/8 resolution).
+TILE_ROWS = 8
+TILE_COLS = 128
+REGION_ROWS = 24           # TILE_ROWS + vertical margin + alignment slack
+REGION_COLS = 384          # TILE_COLS + horizontal margin + lane alignment
+ALIGN_X = 128              # lane tiling of the packed source rows
+ALIGN_Y = 8                # sublane granule: oy*C must be a multiple of 8
+
+
+def _pad_to(x, mults, mode="edge"):
+    """Pad dims of x up to multiples of `mults` ({axis: multiple})."""
+    pads = [(0, 0)] * x.ndim
+    changed = False
+    for ax, m in mults.items():
+        size = x.shape[ax]
+        target = -(-size // m) * m
+        if target != size:
+            pads[ax] = (0, target - size)
+            changed = True
+    return jnp.pad(x, pads, mode=mode) if changed else x
+
+
+def _tile_flat(x, tile_rows, tile_cols):
+    """(D, Hp, Wp) -> (D, T, P): tiles flattened row-major."""
+    D, Hp, Wp = x.shape
+    Th, Tw = Hp // tile_rows, Wp // tile_cols
+    x = x.reshape(D, Th, tile_rows, Tw, tile_cols)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(D, Th * Tw, tile_rows * tile_cols)
+
+
+def _tile_unflat(x, Hp, Wp, tile_rows, tile_cols):
+    """(D, T, P) -> (D, Hp, Wp)."""
+    D = x.shape[0]
+    Th, Tw = Hp // tile_rows, Wp // tile_cols
+    x = x.reshape(D, Th, Tw, tile_rows, tile_cols)
+    return x.transpose(0, 1, 3, 2, 4).reshape(D, Hp, Wp)
+
+
+def _align_down(v, m):
+    return (v // m) * m
+
+
+def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C):
+    """Region origins anchored at each (depth, tile)'s projected support
+    minimum (so the alignment round-down only ADDS coverage), clamped to
+    keep the static-size region inside the image, packed (oy<<16 | ox).
+
+    px, py: (D, T, P) tile-flat coords.  Returns (D*T,) int32.
+    """
+    mx = jnp.clip(px, -1e6, 1e6).min(axis=2)                # (D, T)
+    my = jnp.clip(py, -1e6, 1e6).min(axis=2)
+    ox = jnp.clip(jnp.floor(mx).astype(jnp.int32) - 2,
+                  0, max(Ws - region_cols, 0))
+    oy = jnp.clip(jnp.floor(my).astype(jnp.int32) - 2,
+                  0, max(Hs - region_rows, 0))
+    ox = _align_down(ox, ALIGN_X)
+    align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
+    oy = _align_down(oy, align_y)
+    # SMEM lane-pads the last dim to 128 -> pack to one scalar per step
+    return (oy * 65536 + ox).reshape(-1)
+
+
+def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
+                tile_rows=TILE_ROWS, tile_cols=TILE_COLS, C=8):
+    """Host-side diagnostic: True iff every tile's projected support fits
+    the configured region under worst-case origin alignment.
+    px, py: (D, H, W) projected coords."""
+    px = _pad_to(jnp.asarray(px), {1: tile_rows, 2: tile_cols})
+    py = _pad_to(jnp.asarray(py), {1: tile_rows, 2: tile_cols})
+    pxf = np.asarray(_tile_flat(px, tile_rows, tile_cols))
+    pyf = np.asarray(_tile_flat(py, tile_rows, tile_cols))
+    span_x = pxf.max(axis=2) - pxf.min(axis=2)
+    span_y = pyf.max(axis=2) - pyf.min(axis=2)
+    align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
+    return bool((span_x <= region_cols - 3 - (ALIGN_X - 1)).all()
+                and (span_y <= region_rows - 3 - (align_y - 1)).all())
+
+
+def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
+            region, prev_ref, sem, *, C, P, region_rows, region_cols):
+    t = pl.program_id(0)
+    d = pl.program_id(1)
+    step = d * pl.num_programs(0) + t
+    packed = origins_ref[step]
+    oy = packed // 65536
+    ox = packed - oy * 65536
+
+    first = jnp.logical_and(t == 0, d == 0)
+    stale = jnp.logical_or(first, packed != prev_ref[0])
+
+    @pl.when(stale)
+    def _():
+        dma = pltpu.make_async_copy(
+            src_ref.at[pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
+                       pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
+            region, sem)
+        dma.start()
+        dma.wait()
+        prev_ref[0] = packed
+
+    px = px_ref[0, 0]                                   # (1, P) f32 rows
+    py = py_ref[0, 0]
+    lx = px - ox.astype(jnp.float32)                    # (1, P)
+    ly = py - oy.astype(jnp.float32)
+    qc = lax.broadcasted_iota(jnp.int32, (region_cols, P), 0).astype(
+        jnp.float32)
+    qr = lax.broadcasted_iota(jnp.int32, (region_rows, P), 0).astype(
+        jnp.float32)
+    wxT = jnp.maximum(1.0 - jnp.abs(lx - qc), 0.0)      # (Qc, P)
+    wy = jnp.maximum(1.0 - jnp.abs(ly - qr), 0.0)       # (Qr, P)
+
+    A = jax.lax.dot_general(
+        region[...], wxT.astype(region.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (Qr*C, P)
+
+    S = jnp.zeros((C, P), jnp.float32)
+    for r in range(region_rows):                        # static unroll
+        S = S + A[r * C:(r + 1) * C, :] * wy[r:r + 1, :]
+
+    refT = ref_ref[0].astype(jnp.float32)               # (C, P)
+    corr = jnp.sum(S * refT, axis=0, keepdims=True) / C
+    out_ref[0, 0] = corr.astype(out_ref.dtype)          # (1, P)
+
+
+def _plane_sweep_correlate_p(ref_fea, src_fea, rot, trans, depth,
+                             tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
+                             region_rows=REGION_ROWS,
+                             region_cols=REGION_COLS,
+                             interpret=False):
+    """Single-batch fused warp+correlate (G=1).
+
+    ref_fea/src_fea: (H, W, C); rot (3,3); trans (3,);
+    depth: (D, H, W) actual depths.  Returns corr (D, H, W) float32.
+    """
+    H, W, C = ref_fea.shape
+    D = depth.shape[0]
+    region_rows = min(region_rows, H)   # DMA region must fit the source
+    region_cols = min(region_cols, -(-W // ALIGN_X) * ALIGN_X) \
+        if W >= ALIGN_X else W
+    P = tile_rows * tile_cols
+
+    px, py = geometry.project_to_src(rot[None], trans[None], depth[None],
+                                     H, W)
+    px = lax.stop_gradient(px[0])                       # (D, H, W) f32
+    py = lax.stop_gradient(py[0])
+
+    pxp = _pad_to(px, {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py, {1: tile_rows, 2: tile_cols})
+    refp = _pad_to(ref_fea, {0: tile_rows, 1: tile_cols})
+    Hp, Wp = pxp.shape[1], pxp.shape[2]
+    Th, Tw = Hp // tile_rows, Wp // tile_cols
+    T = Th * Tw
+
+    pxf = _tile_flat(pxp, tile_rows, tile_cols)[:, :, None, :]  # (D,T,1,P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols)[:, :, None, :]
+    # ref tiles transposed to (T, C, P)
+    reff = refp.reshape(Th, tile_rows, Tw, tile_cols, C) \
+        .transpose(0, 2, 4, 1, 3).reshape(T, C, P)
+
+    # channel-packed rows: src_packed[y*C + c, x] = src[y, x, c], x-padded
+    # with zeros so lane-aligned region slices stay in bounds (the zero
+    # columns double as grid_sample zeros padding)
+    Wa = -(-W // ALIGN_X) * ALIGN_X if W >= ALIGN_X else W
+    src_packed = jnp.transpose(src_fea, (0, 2, 1)).reshape(H * C, W)
+    if Wa != W:
+        src_packed = jnp.pad(src_packed, ((0, 0), (0, Wa - W)))
+    # clamp against the PADDED width: a region is allowed to cover the
+    # zero columns (right-edge support would be cut off otherwise)
+    origins = _compute_origins(pxf[:, :, 0], pyf[:, :, 0], H, Wa,
+                               region_rows, region_cols, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, D),                                    # depth fastest
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
+            pl.BlockSpec((1, C, P), lambda t, d, s: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # src stays put
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((region_rows * C, region_cols), src_fea.dtype),
+            pltpu.SMEM((1,), jnp.int32),                # previous origin
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, C=C, P=P, region_rows=region_rows, region_cols=region_cols)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((D, T, 1, P), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(origins, pxf, pyf, reff, src_packed)
+    out = _tile_unflat(out[:, :, 0, :], Hp, Wp, tile_rows, tile_cols)
+    return out[:, :H, :W]
+
+
+def _supported(H, W, C, D, groups):
+    return (groups == 1 and C in (8, 16, 32, 64)
+            and H >= TILE_ROWS and W >= TILE_COLS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def warp_correlate_fused(ref_fea, src_fea, rot, trans, depth, groups=1,
+                         interpret=False):
+    """Fused warp + correlation for one source view, Pallas-accelerated.
+
+    Same contract as ops.warp.warp_correlate with G=1:
+    ref_fea/src_fea (B,H,W,C), rot (B,3,3), trans (B,3),
+    depth (B,D,H,W) -> (B,D,H,W,1).  Falls back to the XLA gather path for
+    unsupported shapes.
+    """
+    return _fwd_impl(ref_fea, src_fea, rot, trans, depth, groups, interpret)
+
+
+def _fwd_impl(ref_fea, src_fea, rot, trans, depth, groups, interpret):
+    B, H, W, C = ref_fea.shape
+    D = depth.shape[1]
+    if not _supported(H, W, C, D, groups):
+        return xla_warp.warp_correlate(ref_fea, src_fea, rot, trans, depth,
+                                       groups)
+    corr = jnp.stack([
+        _plane_sweep_correlate_p(ref_fea[b], src_fea[b], rot[b], trans[b],
+                                 depth[b].astype(jnp.float32),
+                                 interpret=interpret)
+        for b in range(B)])
+    return corr[..., None].astype(ref_fea.dtype)
+
+
+def _fwd(ref_fea, src_fea, rot, trans, depth, groups, interpret):
+    out = _fwd_impl(ref_fea, src_fea, rot, trans, depth, groups, interpret)
+    return out, (ref_fea, src_fea, rot, trans, depth)
+
+
+def _bwd(groups, interpret, res, g):
+    """Backward via the XLA gather path (grid is stop_gradient like the
+    reference's no_grad block, so only feature grads flow)."""
+    ref_fea, src_fea, rot, trans, depth = res
+    _, vjp = jax.vjp(
+        lambda rf, sf: xla_warp.warp_correlate(rf, sf, rot, trans, depth,
+                                               groups),
+        ref_fea, src_fea)
+    d_ref, d_src = vjp(g)
+    return d_ref, d_src, None, None, None
+
+
+warp_correlate_fused.defvjp(_fwd, _bwd)

@@ -1,0 +1,106 @@
+"""Pallas fused warp+correlate: parity vs the XLA gather path (interpret
+mode on CPU), gradient parity through the custom_vjp, and the
+region-fits diagnostic."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from effi_mvs_plus_tpu.core import geometry
+from effi_mvs_plus_tpu.ops import pallas_warp as pw
+from effi_mvs_plus_tpu.ops import warp as xw
+
+
+def _rig(H, W, ang=0.04, baseline=(30.0, 8.0, 5.0)):
+    """Calibrated two-camera rig -> (rot, trans) relative projection."""
+    f = 1.3 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    E_src = np.eye(4, dtype=np.float32)
+    c, s = np.cos(ang), np.sin(ang)
+    E_src[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    E_src[:3, 3] = baseline
+
+    def P(E):
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :4] = K @ E[:3, :4]
+        return out
+
+    return geometry.relative_projection(
+        jnp.asarray(P(E_src))[None],
+        jnp.asarray(P(np.eye(4, dtype=np.float32)))[None])
+
+
+@pytest.mark.parametrize("shape", [(108, 144, 32, 6), (64, 128, 8, 3),
+                                   (40, 192, 16, 4),
+                                   # W > region_cols: right-edge tiles must
+                                   # anchor against the PADDED width
+                                   (64, 576, 8, 4)])
+def test_pallas_warp_matches_xla(shape):
+    H, W, C, D = shape
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    rot, tr = _rig(H, W)
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+
+    px, py = geometry.project_to_src(rot, tr, depth[0][None], H, W)
+    assert pw.region_fits(px[0], py[0]), "test rig must fit the region"
+
+    want = np.asarray(xw.warp_correlate(ref, src, rot, tr, depth, 1))
+    got = np.asarray(pw.warp_correlate_fused(ref, src, rot, tr, depth, 1,
+                                             True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_warp_gradients_match():
+    H, W, C, D = 48, 128, 8, 3
+    rng = np.random.default_rng(1)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    rot, tr = _rig(H, W)
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+
+    gx = jax.grad(lambda a, b: jnp.sum(
+        xw.warp_correlate(a, b, rot, tr, depth, 1) ** 2),
+        argnums=(0, 1))(ref, src)
+    gp = jax.grad(lambda a, b: jnp.sum(
+        pw.warp_correlate_fused(a, b, rot, tr, depth, 1, True) ** 2),
+        argnums=(0, 1))(ref, src)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_region_fits_flags_wild_homography():
+    H, W, D = 104, 144, 3
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+    # explicit projective distortion: z varies with x, so py at large y
+    # sweeps tens of pixels across one tile — far beyond the row margin
+    bad = np.eye(3, dtype=np.float32)
+    bad[2, 0] = 2e-3
+    rot_bad = jnp.asarray(bad[None])
+    px, py = geometry.project_to_src(rot_bad, jnp.zeros((1, 3)),
+                                     depth[0][None], H, W)
+    assert not pw.region_fits(px[0], py[0])
+
+
+def test_unsupported_shapes_fall_back():
+    # W < TILE_COLS -> must silently use the XLA path
+    H, W, C, D = 32, 96, 8, 2
+    rng = np.random.default_rng(3)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    rot, tr = _rig(H, W)
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+    want = np.asarray(xw.warp_correlate(ref, src, rot, tr, depth, 1))
+    got = np.asarray(pw.warp_correlate_fused(ref, src, rot, tr, depth, 1,
+                                             True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
