@@ -153,6 +153,9 @@ def main(argv=None):
     train_step = T.make_train_step(cfg, optimizer, args.lossrate)
     eval_step = T.make_eval_step(cfg)
 
+    from effi_mvs_plus_tpu.utils.logging import MetricsWriter
+    writer = MetricsWriter(args.logdir) if is_main() else None
+
     step_rng = jax.random.PRNGKey(args.seed + 1)
     gstep = start_epoch * len(train_loader)
     for epoch in range(start_epoch, args.epochs):
@@ -167,6 +170,8 @@ def main(argv=None):
             if i % args.summary_freq == 0 and is_main():
                 m = {k: float(v) for k, v in metrics.items()
                      if not k.startswith("l")}
+                writer.scalars(gstep, {**m, "lr": float(sched(gstep))},
+                               prefix="train/")
                 print(f"epoch {epoch} iter {i}/{len(train_loader)} "
                       f"lr {float(sched(gstep)):.2e} " +
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()),
@@ -185,6 +190,7 @@ def main(argv=None):
             meter.update({k: float(v) for k, v in m.items()})
         means = mean_metrics(meter.mean())
         if is_main():
+            writer.scalars(gstep, means, prefix="eval/")
             print(f"epoch {epoch} eval: " +
                   " ".join(f"{k}={v:.4f}" for k, v in means.items()) +
                   f" ({time.time() - t_epoch:.1f}s)", flush=True)
