@@ -15,8 +15,8 @@ import numpy as np
 
 BASELINE_MAPS_PER_S = 0.0101  # measured reference fwd, this machine (CPU)
 
-H, W, V, B = 864, 1152, 5, 1
-WARMUP, ITERS = 2, 16
+H, W, V, B = 864, 1152, 5, 4   # B=4 amortises fixed costs (BASELINE.md)
+WARMUP, ITERS = 2, 8
 
 
 def main():

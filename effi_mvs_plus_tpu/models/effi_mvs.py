@@ -77,17 +77,26 @@ def _repeat2x_hw(x, h_axis, w_axis):
     return jnp.repeat(jnp.repeat(x, 2, axis=h_axis), 2, axis=w_axis)
 
 
-def _warp_correlate(cfg, ref_fea, src_fea, rot, trans, depth):
-    """Dispatch warp+correlation to the pallas kernel or the XLA gather
-    path per cfg.warp_impl ('auto' = pallas on TPU backends)."""
+def _warp_correlate_views(cfg, ref_fea, src_feas, rots, transs, depth):
+    """All-views warp+correlation: one pallas launch on TPU ('auto'),
+    an XLA gather loop elsewhere.  Returns (B, V-1, D, h, w)."""
+    from effi_mvs_plus_tpu.ops import pallas_warp
     impl = cfg.warp_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas" and cfg.G == 1:
-        from effi_mvs_plus_tpu.ops import pallas_warp
-        return pallas_warp.warp_correlate_fused(ref_fea, src_fea, rot,
-                                                trans, depth, cfg.G)
-    return ops.warp_correlate(ref_fea, src_fea, rot, trans, depth, cfg.G)
+        return pallas_warp.warp_correlate_views_fused(
+            ref_fea, src_feas, rots, transs, depth, cfg.G)
+    return pallas_warp._views_xla(ref_fea, src_feas, rots, transs, depth,
+                                  cfg.G)
+
+
+def _relative_projections(P):
+    """(B, V, 4, 4) composed projections -> per-src-view (rot, trans)
+    mapping ref rays to src pixels: (B, V-1, 3, 3), (B, V-1, 3)."""
+    Pv = P[:, 1:]
+    Pref = jnp.broadcast_to(P[:, 0:1], Pv.shape)
+    return geometry.relative_projection(Pv, Pref)
 
 
 def forward(params, imgs, proj_matrices, depth_values,
@@ -148,13 +157,14 @@ def forward(params, imgs, proj_matrices, depth_values,
             drs_disp = geometry.depth_range_samples_global(
                 depth_values, cfg.ndepths[0], h, w)
             depth_hyps = 1.0 / drs_disp                 # (B,D,h,w) descending
+            rots, trs = _relative_projections(P)
+            sims = _warp_correlate_views(cfg, ref_fea, f[:, 1:], rots, trs,
+                                         depth_hyps.astype(dt))
             sim_sum = 0.0
             w_sum = 0.0
             vws = []
-            for v in range(1, V):
-                rot, tr = geometry.relative_projection(P[:, v], P[:, 0])
-                sim = _warp_correlate(cfg, ref_fea, f[:, v], rot, tr,
-                                      depth_hyps.astype(dt))
+            for v in range(V - 1):
+                sim = sims[:, v][..., None]             # (B,D,h,w,1)
                 s_det = lax.stop_gradient(sim[..., 0])  # (B,D,h,w), G==1
                 pnorm = jax.nn.softmax(s_det, axis=1)
                 entropy = -jnp.sum(pnorm * jnp.log(pnorm + 1e-7), axis=1)
@@ -193,16 +203,13 @@ def forward(params, imgs, proj_matrices, depth_values,
                 dv, cfg.ndepths[s], _bshape(interval_s, 3))
             depth_samples = 1.0 / drs_disp              # (B,8,h,w) descending
 
-            sim_sum = 0.0
-            w_sum = 0.0
-            for v in range(1, V):
-                rot, tr = geometry.relative_projection(P[:, v], P[:, 0])
-                sim = _warp_correlate(cfg, ref_fea, f[:, v], rot, tr,
-                                      depth_samples.astype(dt))
-                vw_ = view_weights[:, v - 1][:, None, :, :, None]
-                sim_sum = sim_sum + sim * vw_
-                w_sum = w_sum + vw_
-            fresh = (sim_sum / (w_sum + 1e-6))          # (B,8,h,w,G)
+            rots, trs = _relative_projections(P)
+            sims = _warp_correlate_views(cfg, ref_fea, f[:, 1:], rots, trs,
+                                         depth_samples.astype(dt))
+            vw_ = view_weights[:, :, None]              # (B,V-1,1,h,w)
+            sim_sum = jnp.sum(sims * vw_, axis=1)       # (B,8,h,w)
+            w_sum = jnp.sum(vw_, axis=1)                # (B,1,h,w)
+            fresh = (sim_sum / (w_sum + 1e-6))[..., None]   # (B,8,h,w,G)
 
             new_dmax = depth_samples[:, 0:1]            # (B,1,h,w)
             new_dmin = depth_samples[:, -1:]

@@ -95,15 +95,19 @@ def _align_down(v, m):
     return (v // m) * m
 
 
-def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C):
+def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C,
+                     view_ids=None):
     """Region origins anchored at each (depth, tile)'s projected support
     minimum (so the alignment round-down only ADDS coverage), clamped to
-    keep the static-size region inside the image, packed (oy<<16 | ox).
+    keep the static-size region inside the image, packed
+    ((v*1024 + oy) << 16 | ox) so equal-origin steps of DIFFERENT views
+    never compare equal in the DMA-skip check.
 
-    px, py: (D, T, P) tile-flat coords.  Returns (D*T,) int32.
+    px, py: (..., T, P) tile-flat coords; view_ids broadcastable to the
+    leading dims (0 when absent).  Returns flat int32.
     """
-    mx = jnp.clip(px, -1e6, 1e6).min(axis=2)                # (D, T)
-    my = jnp.clip(py, -1e6, 1e6).min(axis=2)
+    mx = jnp.clip(px, -1e6, 1e6).min(axis=-1)
+    my = jnp.clip(py, -1e6, 1e6).min(axis=-1)
     ox = jnp.clip(jnp.floor(mx).astype(jnp.int32) - 2,
                   0, max(Ws - region_cols, 0))
     oy = jnp.clip(jnp.floor(my).astype(jnp.int32) - 2,
@@ -111,8 +115,9 @@ def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C):
     ox = _align_down(ox, ALIGN_X)
     align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
     oy = _align_down(oy, align_y)
+    tag = 0 if view_ids is None else view_ids
     # SMEM lane-pads the last dim to 128 -> pack to one scalar per step
-    return (oy * 65536 + ox).reshape(-1)
+    return ((tag * 1024 + oy) * 65536 + ox).reshape(-1)
 
 
 def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
@@ -133,28 +138,31 @@ def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
 
 def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
             region, prev_ref, sem, *, C, P, region_rows, region_cols):
-    t = pl.program_id(0)
-    d = pl.program_id(1)
-    step = d * pl.num_programs(0) + t
+    v = pl.program_id(0)
+    t = pl.program_id(1)
+    d = pl.program_id(2)
+    step = (v * pl.num_programs(1) + t) * pl.num_programs(2) + d
     packed = origins_ref[step]
-    oy = packed // 65536
-    ox = packed - oy * 65536
+    hi = packed // 65536
+    ox = packed - hi * 65536
+    oy = hi % 1024
 
-    first = jnp.logical_and(t == 0, d == 0)
+    first = (v == 0) & (t == 0) & (d == 0)
     stale = jnp.logical_or(first, packed != prev_ref[0])
 
     @pl.when(stale)
     def _():
         dma = pltpu.make_async_copy(
-            src_ref.at[pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
+            src_ref.at[v,
+                       pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
                        pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
             region, sem)
         dma.start()
         dma.wait()
         prev_ref[0] = packed
 
-    px = px_ref[0, 0]                                   # (1, P) f32 rows
-    py = py_ref[0, 0]
+    px = px_ref[0, 0, 0]                                # (1, P) f32 rows
+    py = py_ref[0, 0, 0]
     lx = px - ox.astype(jnp.float32)                    # (1, P)
     ly = py - oy.astype(jnp.float32)
     qc = lax.broadcasted_iota(jnp.int32, (region_cols, P), 0).astype(
@@ -175,68 +183,80 @@ def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
 
     refT = ref_ref[0].astype(jnp.float32)               # (C, P)
     corr = jnp.sum(S * refT, axis=0, keepdims=True) / C
-    out_ref[0, 0] = corr.astype(out_ref.dtype)          # (1, P)
+    out_ref[0, 0, 0] = corr.astype(out_ref.dtype)       # (1, P)
 
 
-def _plane_sweep_correlate_p(ref_fea, src_fea, rot, trans, depth,
-                             tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
-                             region_rows=REGION_ROWS,
-                             region_cols=REGION_COLS,
-                             interpret=False):
-    """Single-batch fused warp+correlate (G=1).
+def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
+                                 tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
+                                 region_rows=REGION_ROWS,
+                                 region_cols=REGION_COLS,
+                                 interpret=False):
+    """Single-batch fused warp+correlate over all source views (G=1).
 
-    ref_fea/src_fea: (H, W, C); rot (3,3); trans (3,);
-    depth: (D, H, W) actual depths.  Returns corr (D, H, W) float32.
+    ref_fea: (H, W, C); src_feas: (V, H, W, C); rots (V,3,3);
+    transs (V,3); depth: (D, H, W) actual depths.
+    Returns corr (V, D, H, W) float32.  One pallas_call covers every
+    (view, tile, depth) — the ref tiles are shared and the per-tile source
+    region is reused across the depth sweep (depth-fastest grid).
     """
     H, W, C = ref_fea.shape
+    V = src_feas.shape[0]
     D = depth.shape[0]
     region_rows = min(region_rows, H)   # DMA region must fit the source
     region_cols = min(region_cols, -(-W // ALIGN_X) * ALIGN_X) \
         if W >= ALIGN_X else W
     P = tile_rows * tile_cols
 
-    px, py = geometry.project_to_src(rot[None], trans[None], depth[None],
-                                     H, W)
-    px = lax.stop_gradient(px[0])                       # (D, H, W) f32
-    py = lax.stop_gradient(py[0])
+    px, py = geometry.project_to_src(
+        rots, transs, jnp.broadcast_to(depth[None], (V, D, H, W)), H, W)
+    px = lax.stop_gradient(px)                          # (V, D, H, W) f32
+    py = lax.stop_gradient(py)
 
-    pxp = _pad_to(px, {1: tile_rows, 2: tile_cols})
-    pyp = _pad_to(py, {1: tile_rows, 2: tile_cols})
+    pxp = _pad_to(px.reshape(V * D, H, W), {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py.reshape(V * D, H, W), {1: tile_rows, 2: tile_cols})
     refp = _pad_to(ref_fea, {0: tile_rows, 1: tile_cols})
     Hp, Wp = pxp.shape[1], pxp.shape[2]
     Th, Tw = Hp // tile_rows, Wp // tile_cols
     T = Th * Tw
 
-    pxf = _tile_flat(pxp, tile_rows, tile_cols)[:, :, None, :]  # (D,T,1,P)
-    pyf = _tile_flat(pyp, tile_rows, tile_cols)[:, :, None, :]
-    # ref tiles transposed to (T, C, P)
+    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(V, D, T, 1, P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(V, D, T, 1, P)
+    # ref tiles transposed to (T, C, P), shared across views
     reff = refp.reshape(Th, tile_rows, Tw, tile_cols, C) \
         .transpose(0, 2, 4, 1, 3).reshape(T, C, P)
 
-    # channel-packed rows: src_packed[y*C + c, x] = src[y, x, c], x-padded
-    # with zeros so lane-aligned region slices stay in bounds (the zero
-    # columns double as grid_sample zeros padding)
+    # channel-packed rows: src_packed[v, y*C + c, x] = src[v, y, x, c],
+    # x-padded with zeros so lane-aligned region slices stay in bounds
+    # (the zero columns double as grid_sample zeros padding)
     Wa = -(-W // ALIGN_X) * ALIGN_X if W >= ALIGN_X else W
-    src_packed = jnp.transpose(src_fea, (0, 2, 1)).reshape(H * C, W)
+    src_packed = jnp.transpose(src_feas, (0, 1, 3, 2)).reshape(V, H * C, W)
     if Wa != W:
-        src_packed = jnp.pad(src_packed, ((0, 0), (0, Wa - W)))
-    # clamp against the PADDED width: a region is allowed to cover the
-    # zero columns (right-edge support would be cut off otherwise)
-    origins = _compute_origins(pxf[:, :, 0], pyf[:, :, 0], H, Wa,
-                               region_rows, region_cols, C)
+        src_packed = jnp.pad(src_packed, ((0, 0), (0, 0), (0, Wa - W)))
+    # origins laid out (V, T, D) to match the grid iteration order; clamp
+    # against the PADDED width (a region may cover the zero columns —
+    # right-edge support would be cut off otherwise)
+    vids = jnp.arange(V, dtype=jnp.int32)[:, None, None]
+    origins = _compute_origins(
+        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (V, T, D, P)
+        pyf[..., 0, :].transpose(0, 2, 1, 3),
+        H, Wa, region_rows, region_cols, C,
+        view_ids=jnp.broadcast_to(vids, (V, T, D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, D),                                    # depth fastest
+        grid=(V, T, D),                                 # depth fastest
         in_specs=[
-            pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
-            pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
-            pl.BlockSpec((1, C, P), lambda t, d, s: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, P),
+                         lambda v, t, d, s: (v, d, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, P),
+                         lambda v, t, d, s: (v, d, t, 0, 0)),
+            pl.BlockSpec((1, C, P), lambda v, t, d, s: (t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),       # src stays put
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, P), lambda t, d, s: (d, t, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, 1, P),
+                               lambda v, t, d, s: (v, d, t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((region_rows * C, region_cols), src_fea.dtype),
+            pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
             pltpu.SMEM((1,), jnp.int32),                # previous origin
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -247,14 +267,15 @@ def _plane_sweep_correlate_p(ref_fea, src_fea, rot, trans, depth,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((D, T, 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, D, T, 1, P), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(origins, pxf, pyf, reff, src_packed)
-    out = _tile_unflat(out[:, :, 0, :], Hp, Wp, tile_rows, tile_cols)
-    return out[:, :H, :W]
+    out = _tile_unflat(out[:, :, :, 0, :].reshape(V * D, T, P),
+                       Hp, Wp, tile_rows, tile_cols)
+    return out.reshape(V, D, Hp, Wp)[:, :, :H, :W]
 
 
 def _supported(H, W, C, D, groups):
@@ -282,9 +303,9 @@ def _fwd_impl(ref_fea, src_fea, rot, trans, depth, groups, interpret):
         return xla_warp.warp_correlate(ref_fea, src_fea, rot, trans, depth,
                                        groups)
     corr = jnp.stack([
-        _plane_sweep_correlate_p(ref_fea[b], src_fea[b], rot[b], trans[b],
-                                 depth[b].astype(jnp.float32),
-                                 interpret=interpret)
+        _plane_sweep_correlate_views(
+            ref_fea[b], src_fea[b][None], rot[b][None], trans[b][None],
+            depth[b].astype(jnp.float32), interpret=interpret)[0]
         for b in range(B)])
     return corr[..., None].astype(ref_fea.dtype)
 
@@ -307,3 +328,61 @@ def _bwd(groups, interpret, res, g):
 
 
 warp_correlate_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# All-views variant: one kernel launch per (batch, stage) covering every
+# source view — shared ref tiles, depth-fastest region reuse.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def warp_correlate_views_fused(ref_fea, src_feas, rots, transs, depth,
+                               groups=1, interpret=False):
+    """Fused warp + correlation over all source views.
+
+    ref_fea (B,H,W,C), src_feas (B,V,H,W,C), rots (B,V,3,3),
+    transs (B,V,3), depth (B,D,H,W) -> (B,V,D,H,W) correlations (G=1).
+    Falls back to the XLA gather path per view for unsupported shapes.
+    """
+    return _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
+                           interpret)
+
+
+def _views_xla(ref_fea, src_feas, rots, transs, depth, groups):
+    V = src_feas.shape[1]
+    return jnp.stack(
+        [xla_warp.warp_correlate(ref_fea, src_feas[:, v], rots[:, v],
+                                 transs[:, v], depth, groups)[..., 0]
+         for v in range(V)], axis=1)
+
+
+def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
+                    interpret):
+    B, H, W, C = ref_fea.shape
+    D = depth.shape[1]
+    if not _supported(H, W, C, D, groups):
+        return _views_xla(ref_fea, src_feas, rots, transs, depth, groups)
+    corr = jnp.stack([
+        _plane_sweep_correlate_views(
+            ref_fea[b], src_feas[b], rots[b], transs[b],
+            depth[b].astype(jnp.float32), interpret=interpret)
+        for b in range(B)])
+    return corr.astype(ref_fea.dtype)
+
+
+def _views_fwd(ref_fea, src_feas, rots, transs, depth, groups, interpret):
+    out = _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
+                          interpret)
+    return out, (ref_fea, src_feas, rots, transs, depth)
+
+
+def _views_bwd(groups, interpret, res, g):
+    ref_fea, src_feas, rots, transs, depth = res
+    _, vjp = jax.vjp(
+        lambda rf, sf: _views_xla(rf, sf, rots, transs, depth, groups),
+        ref_fea, src_feas)
+    d_ref, d_src = vjp(g)
+    return d_ref, d_src, None, None, None
+
+
+warp_correlate_views_fused.defvjp(_views_fwd, _views_bwd)

@@ -90,6 +90,40 @@ def test_region_fits_flags_wild_homography():
     assert not pw.region_fits(px[0], py[0])
 
 
+def test_views_fused_matches_per_view_loop():
+    H, W, C, D, V = 64, 128, 16, 4, 3
+    rng = np.random.default_rng(4)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    srcs = jnp.asarray(rng.normal(size=(1, V, H, W, C)).astype(np.float32))
+    rots = []
+    trs = []
+    for v in range(V):
+        r, t = _rig(H, W, ang=0.02 * (v + 1), baseline=(10.0 * (v + 1),
+                                                        3.0 * v, 2.0))
+        rots.append(r[0])
+        trs.append(t[0])
+    rots = jnp.stack(rots)[None]
+    trs = jnp.stack(trs)[None]
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+
+    want = pw._views_xla(ref, srcs, rots, trs, depth, 1)
+    got = pw.warp_correlate_views_fused(ref, srcs, rots, trs, depth, 1,
+                                        True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # gradients through the custom_vjp
+    gx = jax.grad(lambda a, b: jnp.sum(
+        pw._views_xla(a, b, rots, trs, depth, 1) ** 2),
+        argnums=(0, 1))(ref, srcs)
+    gp = jax.grad(lambda a, b: jnp.sum(
+        pw.warp_correlate_views_fused(a, b, rots, trs, depth, 1, True)
+        ** 2), argnums=(0, 1))(ref, srcs)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
 def test_unsupported_shapes_fall_back():
     # W < TILE_COLS -> must silently use the XLA path
     H, W, C, D = 32, 96, 8, 2
