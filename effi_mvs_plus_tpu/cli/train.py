@@ -126,7 +126,10 @@ def main(argv=None):
                           seed=args.seed, indices=train_view)
     test_view = (parallel.partition(range(len(test_ds)), n_proc, pid)
                  if n_proc > 1 else None)
-    test_loader = Loader(test_ds, args.batch_size, shuffle=False,
+    n_test = len(test_view) if test_view is not None else len(test_ds)
+    eval_bs = args.batch_size if n_test >= args.batch_size \
+        else max(1, n_test)
+    test_loader = Loader(test_ds, eval_bs, shuffle=False, drop_last=True,
                          num_workers=args.num_workers, indices=test_view)
 
     params, start_epoch, opt_state = load_initial_params(args, cfg, rng)
@@ -145,8 +148,13 @@ def main(argv=None):
         from effi_mvs_plus_tpu.parallel import make_mesh
         mesh = make_mesh(data=args.data_parallel, model=1,
                          devices=jax.devices()[:args.data_parallel])
-    else:
+    elif n_proc > 1:
         mesh = global_mesh()
+    else:
+        # the data axis must divide both the train and eval batch sizes
+        import math
+        from effi_mvs_plus_tpu.parallel import fit_data_mesh
+        mesh = fit_data_mesh(math.gcd(args.batch_size, eval_bs))
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
 
@@ -168,8 +176,9 @@ def main(argv=None):
                                                     batch, sub)
             gstep += 1
             if i % args.summary_freq == 0 and is_main():
+                # drop the 13 per-prediction terms (l0..l12), keep 'loss'
                 m = {k: float(v) for k, v in metrics.items()
-                     if not k.startswith("l")}
+                     if not (k[0] == "l" and k[1:].isdigit())}
                 writer.scalars(gstep, {**m, "lr": float(sched(gstep))},
                                prefix="train/")
                 print(f"epoch {epoch} iter {i}/{len(train_loader)} "

@@ -74,7 +74,7 @@ class DTUTrainDataset:
     """
 
     def __init__(self, datapath, listfile, mode, nviews, ndepths=384,
-                 disp_max_first=False, rng=None):
+                 disp_max_first=False, rng=None, crop_wh=(640, 512)):
         assert mode in ("train", "val", "test")
         self.datapath = datapath
         self.mode = mode
@@ -83,6 +83,7 @@ class DTUTrainDataset:
         self.interval_scale = 1.06 / (float(ndepths) / 192.0)
         self.disp_max_first = disp_max_first
         self.rng = rng or random.Random(0)
+        self.crop_wh = crop_wh   # (640, 512) = the reference rect crops
         self.metas = []
         pair = camio.read_pair_file(
             os.path.join(datapath, "Cameras/pair.txt"))
@@ -99,7 +100,7 @@ class DTUTrainDataset:
         h, w = hr.shape
         ds = _resize(hr, (w // 2, h // 2), nearest=True)
         h, w = ds.shape
-        th, tw = 512, 640
+        tw, th = self.crop_wh
         sh, sw = (h - th) // 2, (w - tw) // 2
         return ds[sh:sh + th, sw:sw + tw]
 

@@ -17,3 +17,9 @@ _REGISTRY = {
 
 def find_dataset(name):
     return _REGISTRY[name]
+
+
+def register_dataset(name, cls):
+    """Register a custom dataset class/factory under `name` (usable as
+    --dataset in the CLIs)."""
+    _REGISTRY[name] = cls
