@@ -115,7 +115,9 @@ def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C,
     ox = _align_down(ox, ALIGN_X)
     align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
     oy = _align_down(oy, align_y)
-    tag = 0 if view_ids is None else view_ids
+    # the tag only has to CHANGE between grid-adjacent steps of different
+    # (batch, view) slices — mod 16 keeps the packed value inside int32
+    tag = 0 if view_ids is None else view_ids % 16
     # SMEM lane-pads the last dim to 128 -> pack to one scalar per step
     return ((tag * 1024 + oy) * 65536 + ox).reshape(-1)
 
@@ -181,7 +183,7 @@ def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
     for r in range(region_rows):                        # static unroll
         S = S + A[r * C:(r + 1) * C, :] * wy[r:r + 1, :]
 
-    refT = ref_ref[0].astype(jnp.float32)               # (C, P)
+    refT = ref_ref[0, 0].astype(jnp.float32)            # (C, P)
     corr = jnp.sum(S * refT, axis=0, keepdims=True) / C
     out_ref[0, 0, 0] = corr.astype(out_ref.dtype)       # (1, P)
 
@@ -191,70 +193,75 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
                                  region_rows=REGION_ROWS,
                                  region_cols=REGION_COLS,
                                  interpret=False):
-    """Single-batch fused warp+correlate over all source views (G=1).
+    """Batched fused warp+correlate over all source views (G=1).
 
-    ref_fea: (H, W, C); src_feas: (V, H, W, C); rots (V,3,3);
-    transs (V,3); depth: (D, H, W) actual depths.
-    Returns corr (V, D, H, W) float32.  One pallas_call covers every
-    (view, tile, depth) — the ref tiles are shared and the per-tile source
-    region is reused across the depth sweep (depth-fastest grid).
+    ref_fea: (B, H, W, C); src_feas: (B, V, H, W, C); rots (B,V,3,3);
+    transs (B,V,3); depth: (B, D, H, W) actual depths.
+    Returns corr (B, V, D, H, W) float32.  ONE pallas_call covers every
+    (batch, view, tile, depth) — ref tiles are shared across a sample's
+    views and the per-tile source region is reused across the depth sweep
+    (depth-fastest grid with origin-change detection).
     """
-    H, W, C = ref_fea.shape
-    V = src_feas.shape[0]
-    D = depth.shape[0]
+    B, H, W, C = ref_fea.shape
+    V = src_feas.shape[1]
+    D = depth.shape[1]
     region_rows = min(region_rows, H)   # DMA region must fit the source
-    region_cols = min(region_cols, -(-W // ALIGN_X) * ALIGN_X) \
-        if W >= ALIGN_X else W
+    Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)   # x-padded source width
+    region_cols = min(region_cols, Wa)
     P = tile_rows * tile_cols
+    BV = B * V
 
     px, py = geometry.project_to_src(
-        rots, transs, jnp.broadcast_to(depth[None], (V, D, H, W)), H, W)
-    px = lax.stop_gradient(px)                          # (V, D, H, W) f32
+        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
+        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
+            BV, D, H, W), H, W)
+    px = lax.stop_gradient(px)                          # (BV, D, H, W) f32
     py = lax.stop_gradient(py)
 
-    pxp = _pad_to(px.reshape(V * D, H, W), {1: tile_rows, 2: tile_cols})
-    pyp = _pad_to(py.reshape(V * D, H, W), {1: tile_rows, 2: tile_cols})
-    refp = _pad_to(ref_fea, {0: tile_rows, 1: tile_cols})
+    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
     Hp, Wp = pxp.shape[1], pxp.shape[2]
     Th, Tw = Hp // tile_rows, Wp // tile_cols
     T = Th * Tw
 
-    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(V, D, T, 1, P)
-    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(V, D, T, 1, P)
-    # ref tiles transposed to (T, C, P), shared across views
-    reff = refp.reshape(Th, tile_rows, Tw, tile_cols, C) \
-        .transpose(0, 2, 4, 1, 3).reshape(T, C, P)
+    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(BV, D, T, 1, P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(BV, D, T, 1, P)
+    # ref tiles transposed to (B, T, C, P), shared across a sample's views
+    reff = refp.reshape(B, Th, tile_rows, Tw, tile_cols, C) \
+        .transpose(0, 1, 3, 5, 2, 4).reshape(B, T, C, P)
 
-    # channel-packed rows: src_packed[v, y*C + c, x] = src[v, y, x, c],
+    # channel-packed rows: src_packed[bv, y*C + c, x] = src[b, v, y, x, c],
     # x-padded with zeros so lane-aligned region slices stay in bounds
     # (the zero columns double as grid_sample zeros padding)
-    Wa = -(-W // ALIGN_X) * ALIGN_X if W >= ALIGN_X else W
-    src_packed = jnp.transpose(src_feas, (0, 1, 3, 2)).reshape(V, H * C, W)
+    src_packed = jnp.transpose(src_feas, (0, 1, 2, 4, 3)).reshape(
+        BV, H * C, W)
     if Wa != W:
         src_packed = jnp.pad(src_packed, ((0, 0), (0, 0), (0, Wa - W)))
-    # origins laid out (V, T, D) to match the grid iteration order; clamp
+    # origins laid out (BV, T, D) to match the grid iteration order; clamp
     # against the PADDED width (a region may cover the zero columns —
     # right-edge support would be cut off otherwise)
-    vids = jnp.arange(V, dtype=jnp.int32)[:, None, None]
+    tags = jnp.arange(BV, dtype=jnp.int32)[:, None, None]
     origins = _compute_origins(
-        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (V, T, D, P)
+        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (BV, T, D, P)
         pyf[..., 0, :].transpose(0, 2, 1, 3),
         H, Wa, region_rows, region_cols, C,
-        view_ids=jnp.broadcast_to(vids, (V, T, D)))
+        view_ids=jnp.broadcast_to(tags, (BV, T, D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(V, T, D),                                 # depth fastest
+        grid=(BV, T, D),                                # depth fastest
         in_specs=[
             pl.BlockSpec((1, 1, 1, 1, P),
-                         lambda v, t, d, s: (v, d, t, 0, 0)),
+                         lambda bv, t, d, s: (bv, d, t, 0, 0)),
             pl.BlockSpec((1, 1, 1, 1, P),
-                         lambda v, t, d, s: (v, d, t, 0, 0)),
-            pl.BlockSpec((1, C, P), lambda v, t, d, s: (t, 0, 0)),
+                         lambda bv, t, d, s: (bv, d, t, 0, 0)),
+            pl.BlockSpec((1, 1, C, P),
+                         lambda bv, t, d, s, _V=V: (bv // _V, t, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),       # src stays put
         ],
         out_specs=pl.BlockSpec((1, 1, 1, 1, P),
-                               lambda v, t, d, s: (v, d, t, 0, 0)),
+                               lambda bv, t, d, s: (bv, d, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
             pltpu.SMEM((1,), jnp.int32),                # previous origin
@@ -267,20 +274,22 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((V, D, T, 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BV, D, T, 1, P), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(origins, pxf, pyf, reff, src_packed)
-    out = _tile_unflat(out[:, :, :, 0, :].reshape(V * D, T, P),
+    out = _tile_unflat(out[:, :, :, 0, :].reshape(BV * D, T, P),
                        Hp, Wp, tile_rows, tile_cols)
-    return out.reshape(V, D, Hp, Wp)[:, :, :H, :W]
+    return out.reshape(B, V, D, Hp, Wp)[..., :H, :W]
 
 
 def _supported(H, W, C, D, groups):
+    # narrow maps are padded up to one 128-wide tile; tiny test shapes
+    # (< one tile row of real content) keep the XLA path
     return (groups == 1 and C in (8, 16, 32, 64)
-            and H >= TILE_ROWS and W >= TILE_COLS)
+            and H >= TILE_ROWS and W >= 64)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -302,11 +311,9 @@ def _fwd_impl(ref_fea, src_fea, rot, trans, depth, groups, interpret):
     if not _supported(H, W, C, D, groups):
         return xla_warp.warp_correlate(ref_fea, src_fea, rot, trans, depth,
                                        groups)
-    corr = jnp.stack([
-        _plane_sweep_correlate_views(
-            ref_fea[b], src_fea[b][None], rot[b][None], trans[b][None],
-            depth[b].astype(jnp.float32), interpret=interpret)[0]
-        for b in range(B)])
+    corr = _plane_sweep_correlate_views(
+        ref_fea, src_fea[:, None], rot[:, None], trans[:, None],
+        depth.astype(jnp.float32), interpret=interpret)[:, 0]
     return corr[..., None].astype(ref_fea.dtype)
 
 
@@ -316,9 +323,18 @@ def _fwd(ref_fea, src_fea, rot, trans, depth, groups, interpret):
 
 
 def _bwd(groups, interpret, res, g):
-    """Backward via the XLA gather path (grid is stop_gradient like the
-    reference's no_grad block, so only feature grads flow)."""
+    """Backward for the single-view API: pallas kernel when supported,
+    XLA gather path otherwise (grid is stop_gradient like the reference's
+    no_grad block, so only feature grads flow)."""
     ref_fea, src_fea, rot, trans, depth = res
+    B, H, W, C = ref_fea.shape
+    D = depth.shape[1]
+    if _supported(H, W, C, D, groups):
+        d_ref, d_src = _plane_sweep_correlate_views_bwd(
+            ref_fea, src_fea[:, None], rot[:, None], trans[:, None],
+            depth.astype(jnp.float32),
+            g[..., 0][:, None].astype(jnp.float32), interpret=interpret)
+        return d_ref, d_src[:, 0], None, None, None
     _, vjp = jax.vjp(
         lambda rf, sf: xla_warp.warp_correlate(rf, sf, rot, trans, depth,
                                                groups),
@@ -328,6 +344,217 @@ def _bwd(groups, interpret, res, g):
 
 
 warp_correlate_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: d_ref and d_src without the XLA gather/scatter path
+# (whose (...,2,2,C) blocks pad 64x on TPU and OOM HBM at training shapes).
+# Same tile/region decomposition as the forward; per step it recomputes the
+# sampled features (region already in VMEM), accumulates
+#   d_ref[c,p] += g[p]/C * sampled[c,p]          across (view, depth)
+#   d_region[qr*C+c, qc] = sum_p U[qr*C+c,p] * WxT[qc,p]   (MXU)
+# with U = tile(refT) * wy_full * g/C, and adds d_region into the packed
+# source gradient with a synchronous read-modify-write DMA (the TPU grid
+# is sequential, so the accumulation is race-free).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(origins_ref, g_ref, px_ref, py_ref, ref_ref, src_ref,
+                dsrc_in, dref_out, dsrc_ref, region, dacc, prev_ref, sem,
+                wsem, *, C, P, V, D, region_rows, region_cols):
+    del dsrc_in                       # aliased to dsrc_ref (the output)
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    v = pl.program_id(2)
+    d = pl.program_id(3)
+    T = pl.num_programs(1)
+    step = ((b * T + t) * V + v) * D + d
+    packed = origins_ref[step]
+    hi = packed // 65536
+    ox = packed - hi * 65536
+    oy = hi % 1024
+    bv = b * V + v
+
+    stale = jnp.logical_or(step == 0, packed != prev_ref[0])
+
+    @pl.when(stale)
+    def _():
+        dma = pltpu.make_async_copy(
+            src_ref.at[bv,
+                       pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
+                       pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
+            region, sem)
+        dma.start()
+        dma.wait()
+        prev_ref[0] = packed
+
+    px = px_ref[0, 0, 0, 0]                             # (1, P) f32
+    py = py_ref[0, 0, 0, 0]
+    g = g_ref[0, 0, 0, 0].astype(jnp.float32) / C       # (1, P)
+    lx = px - ox.astype(jnp.float32)
+    ly = py - oy.astype(jnp.float32)
+    QrC = region_rows * C
+    qc = lax.broadcasted_iota(jnp.int32, (region_cols, P), 0).astype(
+        jnp.float32)
+    qr_full = (lax.broadcasted_iota(jnp.int32, (QrC, P), 0)
+               // C).astype(jnp.float32)
+    wxT = jnp.maximum(1.0 - jnp.abs(lx - qc), 0.0)      # (Qc, P)
+    wy_full = jnp.maximum(1.0 - jnp.abs(ly - qr_full), 0.0)   # (QrC, P)
+
+    refT = ref_ref[0, 0].astype(jnp.float32)            # (C, P)
+    # sampled: A = region @ wxT  -> (QrC, P); S[c,p] = sum_qr A*wy
+    A = jax.lax.dot_general(
+        region[...], wxT.astype(region.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Aw = A * wy_full
+    S = jnp.zeros((C, P), jnp.float32)
+    for r in range(region_rows):                        # static unroll
+        S = S + Aw[r * C:(r + 1) * C, :]
+
+    # d_ref accumulation over this (b, t) group's (v, d) steps
+    @pl.when((v == 0) & (d == 0))
+    def _():
+        dref_out[0, 0] = jnp.zeros((C, P), dref_out.dtype)
+    dref_out[0, 0] += (S * g).astype(dref_out.dtype)
+
+    # d_region = U @ wxT^T with U = tile(refT) * wy_full * g
+    refT_full = jnp.concatenate([refT] * region_rows, axis=0)   # (QrC, P)
+    U = (refT_full * wy_full * g).astype(jnp.float32)
+    d_region = jax.lax.dot_general(
+        U, wxT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (QrC, Qc)
+
+    # read-modify-write into the packed source gradient (sequential grid)
+    rd = pltpu.make_async_copy(
+        dsrc_ref.at[bv, pl.ds(pl.multiple_of(oy * C, 8), QrC),
+                    pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
+        dacc, sem)
+    rd.start()
+    rd.wait()
+    dacc[...] = dacc[...] + d_region
+    wr = pltpu.make_async_copy(
+        dacc,
+        dsrc_ref.at[bv, pl.ds(pl.multiple_of(oy * C, 8), QrC),
+                    pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
+        wsem)
+    wr.start()
+    wr.wait()
+
+
+def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
+                                     depth, g,
+                                     tile_rows=TILE_ROWS,
+                                     tile_cols=TILE_COLS,
+                                     region_rows=REGION_ROWS,
+                                     region_cols=REGION_COLS,
+                                     interpret=False):
+    """Pallas backward: returns (d_ref (B,H,W,C), d_src (B,V,H,W,C)).
+
+    g: (B, V, D, H, W) cotangent of the correlations.
+    """
+    B, H, W, C = ref_fea.shape
+    V = src_feas.shape[1]
+    D = depth.shape[1]
+    region_rows = min(region_rows, H)
+    Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
+    region_cols = min(region_cols, Wa)
+    P = tile_rows * tile_cols
+    BV = B * V
+
+    px, py = geometry.project_to_src(
+        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
+        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
+            BV, D, H, W), H, W)
+    px = lax.stop_gradient(px)
+    py = lax.stop_gradient(py)
+
+    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    # cotangent zero-padded: padded pixels must not contribute gradients
+    gp = _pad_to(g.reshape(BV * D, H, W).astype(jnp.float32),
+                 {1: tile_rows, 2: tile_cols}, mode="constant")
+    refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
+    Hp, Wp = pxp.shape[1], pxp.shape[2]
+    Th, Tw = Hp // tile_rows, Wp // tile_cols
+    T = Th * Tw
+
+    # layouts ordered (B, T, V, D) so each (b, t) group's d_ref
+    # accumulates across consecutive (v, d) steps
+    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(B, V, D, T, 1, P) \
+        .transpose(0, 3, 1, 2, 4, 5)                    # (B,T,V,D,1,P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(B, V, D, T, 1, P) \
+        .transpose(0, 3, 1, 2, 4, 5)
+    gf = _tile_flat(gp, tile_rows, tile_cols).reshape(B, V, D, T, 1, P) \
+        .transpose(0, 3, 1, 2, 4, 5)
+    reff = refp.reshape(B, Th, tile_rows, Tw, tile_cols, C) \
+        .transpose(0, 1, 3, 5, 2, 4).reshape(B, T, C, P)
+
+    src_packed = jnp.transpose(src_feas, (0, 1, 2, 4, 3)).reshape(
+        BV, H * C, W)
+    if Wa != W:
+        src_packed = jnp.pad(src_packed, ((0, 0), (0, 0), (0, Wa - W)))
+
+    tags = jnp.arange(BV, dtype=jnp.int32).reshape(B, V)
+    origins = _compute_origins(
+        pxf[..., 0, :], pyf[..., 0, :],                 # (B,T,V,D,P)
+        H, Wa, region_rows, region_cols, C,
+        view_ids=jnp.broadcast_to(tags[:, None, :, None], (B, T, V, D)))
+
+    dsrc_zeros = jnp.zeros((BV, H * C, Wa), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T, V, D),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, 1, P),
+                         lambda b, t, v, d, s: (b, t, v, d, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, 1, P),
+                         lambda b, t, v, d, s: (b, t, v, d, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, 1, P),
+                         lambda b, t, v, d, s: (b, t, v, d, 0, 0)),
+            pl.BlockSpec((1, 1, C, P),
+                         lambda b, t, v, d, s: (b, t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # src
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dsrc (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, C, P),
+                         lambda b, t, v, d, s: (b, t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # dsrc out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
+            pltpu.VMEM((region_rows * C, region_cols), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _bwd_kernel, C=C, P=P, V=V, D=D, region_rows=region_rows,
+        region_cols=region_cols)
+
+    dref_tiles, dsrc_packed = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, T, C, P), jnp.float32),
+                   jax.ShapeDtypeStruct((BV, H * C, Wa), jnp.float32)),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 1},    # dsrc zeros -> dsrc out (after the
+                                        # scalar-prefetch operand)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(origins, gf, pxf, pyf, reff, src_packed, dsrc_zeros)
+
+    # un-tile d_ref: (B, T, C, P) -> (B, Hp, Wp, C)
+    d_ref = dref_tiles.reshape(B, Th, Tw, C, tile_rows, tile_cols) \
+        .transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, Wp, C)[:, :H, :W]
+    # un-pack d_src: (BV, H*C, Wa) -> (B, V, H, W, C)
+    d_src = dsrc_packed[:, :, :W].reshape(B, V, H, C, W) \
+        .transpose(0, 1, 2, 4, 3)
+    return d_ref.astype(ref_fea.dtype), d_src.astype(src_feas.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -362,11 +589,9 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     D = depth.shape[1]
     if not _supported(H, W, C, D, groups):
         return _views_xla(ref_fea, src_feas, rots, transs, depth, groups)
-    corr = jnp.stack([
-        _plane_sweep_correlate_views(
-            ref_fea[b], src_feas[b], rots[b], transs[b],
-            depth[b].astype(jnp.float32), interpret=interpret)
-        for b in range(B)])
+    corr = _plane_sweep_correlate_views(
+        ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+        interpret=interpret)
     return corr.astype(ref_fea.dtype)
 
 
@@ -378,6 +603,15 @@ def _views_fwd(ref_fea, src_feas, rots, transs, depth, groups, interpret):
 
 def _views_bwd(groups, interpret, res, g):
     ref_fea, src_feas, rots, transs, depth = res
+    B, H, W, C = ref_fea.shape
+    D = depth.shape[1]
+    if _supported(H, W, C, D, groups):
+        # pallas backward — the XLA gather/scatter fallback pads its
+        # (...,2,2,C) blocks 64x on TPU and OOMs HBM at training shapes
+        d_ref, d_src = _plane_sweep_correlate_views_bwd(
+            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            g.astype(jnp.float32), interpret=interpret)
+        return d_ref, d_src, None, None, None
     _, vjp = jax.vjp(
         lambda rf, sf: _views_xla(rf, sf, rots, transs, depth, groups),
         ref_fea, src_feas)

@@ -91,10 +91,10 @@ def test_region_fits_flags_wild_homography():
 
 
 def test_views_fused_matches_per_view_loop():
-    H, W, C, D, V = 64, 128, 16, 4, 3
+    H, W, C, D, V, B = 64, 128, 16, 4, 3, 2
     rng = np.random.default_rng(4)
-    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
-    srcs = jnp.asarray(rng.normal(size=(1, V, H, W, C)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    srcs = jnp.asarray(rng.normal(size=(B, V, H, W, C)).astype(np.float32))
     rots = []
     trs = []
     for v in range(V):
@@ -102,11 +102,11 @@ def test_views_fused_matches_per_view_loop():
                                                         3.0 * v, 2.0))
         rots.append(r[0])
         trs.append(t[0])
-    rots = jnp.stack(rots)[None]
-    trs = jnp.stack(trs)[None]
+    rots = jnp.broadcast_to(jnp.stack(rots)[None], (B, V, 3, 3))
+    trs = jnp.broadcast_to(jnp.stack(trs)[None], (B, V, 3))
     depth = jnp.asarray(np.broadcast_to(
         np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
-        (1, D, H, W)).copy())
+        (B, D, H, W)).copy())
 
     want = pw._views_xla(ref, srcs, rots, trs, depth, 1)
     got = pw.warp_correlate_views_fused(ref, srcs, rots, trs, depth, 1,
