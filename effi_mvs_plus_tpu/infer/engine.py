@@ -26,6 +26,14 @@ from effi_mvs_plus_tpu.data.pfm import save_pfm
 from effi_mvs_plus_tpu.data import cams as camio
 
 
+def _fit_devices(batch_size):
+    """Largest device count that divides the batch."""
+    n = jax.device_count()
+    while n > 1 and batch_size % n:
+        n -= 1
+    return n
+
+
 class InferenceEngine:
     def __init__(self, params, cfg: EffiMVSConfig = EffiMVSConfig(),
                  donate=False):
@@ -42,11 +50,22 @@ class InferenceEngine:
     def infer_batch(self, batch):
         """batch: dict with imgs (B,V,H,W,3), proj_matrices stage dicts,
         depth_values (B,Nd).  Returns (depth (B,H,W), conf (B,H/2,W/2))
-        as numpy."""
-        projs = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()
+        as numpy.  On a multi-chip host the batch of reference views is
+        sharded over the devices' data axis (divisibility permitting)."""
+        projs = {k: v for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3")}
-        depth, conf = self._fn(jnp.asarray(batch["imgs"]), projs,
-                               jnp.asarray(batch["depth_values"]))
+        B = batch["imgs"].shape[0]
+        if jax.device_count() > 1 and B % _fit_devices(B) == 0 \
+                and _fit_devices(B) > 1:
+            from effi_mvs_plus_tpu.parallel import fit_data_mesh, shard_batch
+            mesh = fit_data_mesh(B)
+            put = shard_batch({"imgs": batch["imgs"], "projs": projs,
+                               "dv": batch["depth_values"]}, mesh)
+            depth, conf = self._fn(put["imgs"], put["projs"], put["dv"])
+        else:
+            projs = {k: jnp.asarray(v) for k, v in projs.items()}
+            depth, conf = self._fn(jnp.asarray(batch["imgs"]), projs,
+                                   jnp.asarray(batch["depth_values"]))
         return np.asarray(depth), np.asarray(conf)
 
     def save_scene_depths(self, loader, outdir, verbose=True):

@@ -114,12 +114,19 @@ def csp_block(cur_volume, prev_volume, p, ctx=None):
 
 
 def gru_step(h, x, p, ctx=None):
-    """ConvGRU with 3x3 gates.  h: (B,H,W,hdim); x: (B,H,W,xdim)."""
+    """ConvGRU with 3x3 gates.  h: (B,H,W,hdim); x: (B,H,W,xdim).
+
+    The z and r gates share the [h, x] input, so their convs are evaluated
+    as ONE conv with stacked output channels (identical math to the
+    reference's separate convz/convr, update.py:40-49 — the weight concat
+    is hoisted by XLA since params are constants under jit)."""
+    hd = h.shape[-1]
     hx = jnp.concatenate([h, x], axis=-1)
-    z = jax.nn.sigmoid(nn.conv2d(hx, p["convz"]["weight"],
-                                 p["convz"]["bias"], padding=1))
-    r = jax.nn.sigmoid(nn.conv2d(hx, p["convr"]["weight"],
-                                 p["convr"]["bias"], padding=1))
+    w_zr = jnp.concatenate([p["convz"]["weight"], p["convr"]["weight"]],
+                           axis=-1)
+    b_zr = jnp.concatenate([p["convz"]["bias"], p["convr"]["bias"]])
+    zr = jax.nn.sigmoid(nn.conv2d(hx, w_zr, b_zr, padding=1))
+    z, r = zr[..., :hd], zr[..., hd:]
     rhx = jnp.concatenate([r * h, x], axis=-1)
     q = jnp.tanh(nn.conv2d(rhx, p["convq"]["weight"],
                            p["convq"]["bias"], padding=1))
