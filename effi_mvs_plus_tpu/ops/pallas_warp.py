@@ -258,7 +258,7 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
                          lambda bv, t, d, s: (bv, d, t, 0, 0)),
             pl.BlockSpec((1, 1, C, P),
                          lambda bv, t, d, s, _V=V: (bv // _V, t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # src stays put
+            pl.BlockSpec(memory_space=pl.ANY),          # src stays put
         ],
         out_specs=pl.BlockSpec((1, 1, 1, 1, P),
                                lambda bv, t, d, s: (bv, d, t, 0, 0)),
@@ -515,13 +515,13 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
                          lambda b, t, v, d, s: (b, t, v, d, 0, 0)),
             pl.BlockSpec((1, 1, C, P),
                          lambda b, t, v, d, s: (b, t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # src
-            pl.BlockSpec(memory_space=pltpu.ANY),       # dsrc (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),       # src
+            pl.BlockSpec(memory_space=pl.ANY),       # dsrc (aliased)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, C, P),
                          lambda b, t, v, d, s: (b, t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # dsrc out
+            pl.BlockSpec(memory_space=pl.ANY),       # dsrc out
         ],
         scratch_shapes=[
             pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
