@@ -60,7 +60,7 @@ def main():
         return float(jax.device_get(jnp.ravel(x)[0]))
 
     fence(jnp.zeros((1, 1)))
-    for B in (2, 4, 6, 8):
+    for B in (8, 6, 2):
         try:
             args = make_args(B, jnp, camio)
             for _ in range(WARMUP):
