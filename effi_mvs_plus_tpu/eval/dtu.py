@@ -35,33 +35,84 @@ def reduce_pts(pts, dst=0.2, seed=0):
     pts: (N,3).  Returns a boolean keep-mask.  Matches reducePts_haa.m's
     random-order suppression (the specific permutation differs — the
     protocol is stochastic by design; seeded here for reproducibility).
+
+    The MATLAB loop (visit points in random order; a still-kept point
+    suppresses all neighbours within dst) computes exactly the
+    lexicographically-first maximal independent set of the dst-neighbour
+    graph under the random priority order.  That has an exact parallel
+    form (deterministic Luby rounds): a point is KEPT when its priority
+    beats every still-undecided neighbour's, then its neighbours are
+    REMOVED; repeat.  Each round is pure vectorised scatter-min — ~two
+    orders of magnitude faster than the per-point Python loop at the
+    ~30 M points of a real fused DTU cloud, with an identical result for
+    a given priority order (tests/test_eval_dtu.py pins this against the
+    sequential implementation).
     """
     n = len(pts)
-    keep = np.ones(n, bool)
-    order = np.random.default_rng(seed).permutation(n)
+    if n == 0:
+        return np.zeros(0, bool)
+    # position in the random visiting order = priority (lower wins)
+    pri = np.empty(n, np.int64)
+    pri[np.random.default_rng(seed).permutation(n)] = np.arange(n)
+
     tree = cKDTree(pts)
-    # query in chunks to bound memory
-    chunk = 2_000_000
-    for lo in range(0, n, chunk):
-        ids = order[lo:lo + chunk]
-        neigh = tree.query_ball_point(pts[ids], dst, workers=-1)
-        for i, nb in zip(ids, neigh):
-            if keep[i]:
-                keep[nb] = False
-                keep[i] = True
-    return keep
+    pairs = tree.query_pairs(dst, output_type="ndarray")   # (P, 2) unique
+    kept = np.zeros(n, bool)
+    undecided = np.ones(n, bool)
+    if len(pairs) == 0:
+        return np.ones(n, bool)
+    pairs = pairs.astype(np.int32, copy=False)
+    a = np.concatenate([pairs[:, 0], pairs[:, 1]])         # both directions
+    b = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    while True:
+        # min neighbour priority over undecided neighbours (the sentinel n
+        # makes neighbour-less points win their round automatically)
+        minnb = np.full(n, n, np.int64)
+        live = undecided[a] & undecided[b]
+        np.minimum.at(minnb, a[live], pri[b[live]])
+        newkeep = undecided & (pri < minnb)
+        if not newkeep.any():
+            break
+        kept |= newkeep
+        # drop the new keepers and everything they suppress
+        suppressed = np.zeros(n, bool)
+        sel = newkeep[a]
+        suppressed[b[sel]] = True
+        undecided &= ~(newkeep | suppressed)
+        if not undecided.any():
+            break
+        live = undecided[a] & undecided[b]
+        a, b = a[live], b[live]
+        if len(a) == 0:
+            kept |= undecided
+            break
+    return kept
 
 
-def _chamfer(q_from, q_to, max_dist=60.0):
-    """Distance from each q_from point to nearest q_to point, clipped to
-    max_dist (MaxDistCP.m computes exact distances in MaxDist-sized blocks
-    and defaults to MaxDist when no target point is near — a cKDTree query
-    with distance_upper_bound reproduces that)."""
-    if len(q_to) == 0:
-        return np.full(len(q_from), max_dist, np.float64)
-    tree = cKDTree(q_to)
-    d, _ = tree.query(q_from, k=1, distance_upper_bound=max_dist, workers=-1)
-    return np.minimum(d, max_dist)
+def block_assigned_mask(q_from, bb, max_dist=60.0):
+    """MaxDistCP.m only assigns distances to 'from' points inside the
+    BB-anchored MaxDist block tiling [BB(1,:) , BB(1,:)+(Range+1)*MaxDist)
+    with Range = floor((BB(2,:)-BB(1,:))/MaxDist) — anything outside keeps
+    the 60 mm default and is later discarded by the 20 mm cut.  Replicate
+    that exclusion exactly (MaxDistCP.m:3-18)."""
+    rng_ = np.floor((bb[1] - bb[0]) / max_dist)
+    hi = bb[0] + (rng_ + 1) * max_dist
+    return ((q_from >= bb[0]) & (q_from < hi)).all(axis=1)
+
+
+def _chamfer(q_from, q_to, bb, max_dist=60.0):
+    """Distance from each q_from point to the nearest q_to point
+    (MaxDistCP.m semantics): exact within the BB block tiling, the 60 mm
+    default for q_from points outside it or with no q_to point in the
+    ±60 mm block neighbourhood."""
+    d = np.full(len(q_from), max_dist, np.float64)
+    assigned = block_assigned_mask(q_from, bb, max_dist)
+    if len(q_to) and assigned.any():
+        tree = cKDTree(q_to)
+        dd, _ = tree.query(q_from[assigned], k=1,
+                           distance_upper_bound=max_dist, workers=-1)
+        d[assigned] = np.minimum(dd, max_dist)
+    return d
 
 
 @dataclasses.dataclass
@@ -86,8 +137,8 @@ def evaluate_scan(method_pts, stl_pts, obs_mask, bb, res, ground_plane,
     if not prereduced:
         method_pts = method_pts[reduce_pts(method_pts, dst, seed)]
 
-    d_data = _chamfer(method_pts, stl_pts)          # accuracy distances
-    d_stl = _chamfer(stl_pts, method_pts)           # completeness distances
+    d_data = _chamfer(method_pts, stl_pts, bb)      # accuracy distances
+    d_stl = _chamfer(stl_pts, method_pts, bb)       # completeness distances
 
     # ObsMask voxel lookup (PointCompareMain.m:36-44, 1-based rounding)
     qv = np.round((method_pts - bb[0]) / res + 1).astype(np.int64)
