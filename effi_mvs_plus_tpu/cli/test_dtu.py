@@ -19,28 +19,36 @@ import os
 import numpy as np
 
 
-def build_parser():
+def build_parser(profile_name="dtu_eval"):
+    from effi_mvs_plus_tpu.config import get_profile, apply_profile_defaults
     p = argparse.ArgumentParser("effi-mvs-plus-tpu test_dtu")
+    p.add_argument("--profile", default=profile_name,
+                   help="named preset from config.PROFILES")
     p.add_argument("--testpath", required=True)
     p.add_argument("--testlist", required=True)
     p.add_argument("--loadckpt", required=True)
     p.add_argument("--outdir", default="./outputs")
-    p.add_argument("--ndepths", type=str, default="48,8,8")
+    p.add_argument("--ndepths", type=str)
     p.add_argument("--GRUiters", type=str, default="3,3,3")
-    p.add_argument("--CostNum", type=int, default=3)
-    p.add_argument("--numdepth", type=int, default=384)
-    p.add_argument("--interval_scale", type=float, default=0.53)
-    p.add_argument("--num_view", type=int, default=5)
-    p.add_argument("--max_h", type=int, default=1184)
-    p.add_argument("--max_w", type=int, default=1600)
-    p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--conf", type=float, default=0.5)
-    p.add_argument("--dist_base", type=float, default=0.5)
-    p.add_argument("--diff_base", type=float, default=0.25)
+    p.add_argument("--CostNum", type=int)
+    p.add_argument("--numdepth", type=int)
+    p.add_argument("--interval_scale", type=float)
+    p.add_argument("--num_view", type=int)
+    p.add_argument("--max_h", type=int)
+    p.add_argument("--max_w", type=int)
+    # B=6 is the measured throughput sweet spot on v5e (BASELINE.md batch
+    # sweep: 14.1 maps/s vs 8.25 at B=1) — the fast path is the default.
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--conf", type=float)
+    p.add_argument("--dist_base", type=float)
+    p.add_argument("--diff_base", type=float)
     p.add_argument("--num_worker", type=int, default=4)
+    p.add_argument("--save_masks", action="store_true",
+                   help="dump per-ref photo/geo/final mask PNGs")
     p.add_argument("--skip_depth", action="store_true",
                    help="fuse only (depth maps already saved)")
     p.add_argument("--skip_fusion", action="store_true")
+    apply_profile_defaults(p, get_profile(profile_name))
     return p
 
 
@@ -77,7 +85,8 @@ def save_depths(args, scans):
 
 
 def fuse_scan(args_tuple):
-    (testpath, outdir, scan, conf, dist_base, diff_base) = args_tuple
+    (testpath, outdir, scan, conf, dist_base, diff_base,
+     save_masks) = args_tuple
     from effi_mvs_plus_tpu.data import read_pair_file, read_cam_file
     from effi_mvs_plus_tpu.data.pfm import read_pfm
     from effi_mvs_plus_tpu.fuse import fuse_scene, write_ply, DypcdParams
@@ -111,7 +120,9 @@ def fuse_scan(args_tuple):
                                       diff_base=diff_base),
                           progress=lambda r, p, g, f: print(
                               f"{scan} ref {r:02d} photo/geo/final "
-                              f"{p:.3f}/{g:.3f}/{f:.3f}", flush=True))
+                              f"{p:.3f}/{g:.3f}/{f:.3f}", flush=True),
+                          mask_dir=(os.path.join(out_folder, "mask")
+                                    if save_masks else None))
     scan_id = int(scan[4:]) if scan.startswith("scan") else 0
     ply_path = os.path.join(outdir, f"mvsnet{scan_id:03d}_l3.ply")
     write_ply(ply_path, xyz, rgb)
@@ -119,7 +130,12 @@ def fuse_scan(args_tuple):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    # two-phase parse: --profile picks the preset the remaining defaults
+    # come from, explicit flags still win
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--profile", default="dtu_eval")
+    ns, _ = pre.parse_known_args(argv)
+    args = build_parser(ns.profile).parse_args(argv)
     with open(args.testlist) as f:
         scans = [ln.strip() for ln in f if ln.strip()]
     # multi-host scene parallelism: each process owns a round-robin share
@@ -135,7 +151,8 @@ def main(argv=None):
     if not args.skip_fusion:
         import multiprocessing as mp
         tasks = [(args.testpath, args.outdir, s, args.conf,
-                  args.dist_base, args.diff_base) for s in scans]
+                  args.dist_base, args.diff_base, args.save_masks)
+                 for s in scans]
         if args.num_worker <= 1:
             for t in tasks:
                 fuse_scan(t)

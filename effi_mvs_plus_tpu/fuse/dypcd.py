@@ -33,15 +33,10 @@ from effi_mvs_plus_tpu.core.geometry import inv3x3
 from effi_mvs_plus_tpu.ops import bilinear_gather
 
 
-@dataclasses.dataclass(frozen=True)
-class DypcdParams:
-    """Reference constants test_dtu_dypcd.py:33-38,77-79."""
-    s: int = 1
-    e: int = 11
-    dist_base: float = 0.5
-    diff_base: float = 0.25
-    conf_thresh: float = 0.5
-    conf_override: float = 0.75
+# Fusion constants live in the typed config tree (config.py); re-exported
+# here so fusion call-sites keep one import.
+from effi_mvs_plus_tpu.config import (DypcdParams, TankParams,  # noqa: F401
+                                      TANK_FILTER_CONFIGS)
 
 
 def _cam_rays(K_inv, depth):
@@ -148,31 +143,6 @@ def consistency(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
     return photo_mask & geo_mask, fused, geo_mask, photo_mask
 
 
-@dataclasses.dataclass(frozen=True)
-class TankParams:
-    """Per-scene Tanks&Temples filter config (reference
-    test_tank.py:600-615 `filter_dict_tank8_test`)."""
-    views: int = 11
-    dh_view_num: int = 2
-    dist_filter: float = 2.0
-    depth_filter: float = 6000.0
-    prob_threshold: float = 0.5
-    relative: bool = False
-
-
-# Deployed per-scene configs.
-TANK_FILTER_CONFIGS = {
-    **{s: TankParams() for s in
-       ("Family", "Francis", "Lighthouse", "M60", "Panther", "Playground",
-        "Train")},
-    "Horse": TankParams(dist_filter=4, prob_threshold=0.3),
-    "Auditorium": TankParams(dist_filter=1, depth_filter=500,
-                             prob_threshold=0.3),
-    **{s: TankParams(dist_filter=1, depth_filter=1600, prob_threshold=0.3)
-       for s in ("Ballroom", "Courtroom", "Museum", "Palace", "Temple")},
-}
-
-
 @functools.partial(jax.jit, static_argnames=("params",))
 def consistency_tank(depth_ref, conf_ref, K_ref, E_ref, depth_srcs, K_srcs,
                      E_srcs, params: TankParams = TankParams()):
@@ -212,13 +182,32 @@ def backproject_to_world(depth, mask, K, E):
     return xyz_w.T.astype(np.float32), (ys, xs)
 
 
+def save_mask_pngs(mask_dir, ref, photo_mask, geo_mask, final_mask):
+    """Write the standard fusion-debug artifacts the reference emits per
+    reference view (test_dtu_dypcd.py:309-313): mask/<ref>_photo.png,
+    _geo.png, _final.png as 0/255 images."""
+    os.makedirs(mask_dir, exist_ok=True)
+    try:
+        from PIL import Image
+    except Exception:
+        return
+    for name, m in (("photo", photo_mask), ("geo", geo_mask),
+                    ("final", final_mask)):
+        img = (np.asarray(m).astype(np.uint8) * 255)
+        Image.fromarray(img).save(
+            os.path.join(mask_dir, f"{ref:08d}_{name}.png"))
+
+
 def fuse_scene(pair_data, load_view, params: DypcdParams = DypcdParams(),
-               progress=None):
+               progress=None, mask_dir=None):
     """Fuse one scene into a point cloud.
 
     pair_data: [(ref_view, [src_views...])]
     load_view: view_id -> dict(depth (H,W), conf (H,W) or None,
                K (3,3), E (4,4), image (H,W,3) float [0,1] or None)
+    mask_dir: when set, dump per-ref photo/geo/final mask PNGs there
+              (the reference's threshold-tuning artifacts,
+              test_dtu_dypcd.py:309-316).
     Returns (xyz (N,3) float32, rgb (N,3) uint8).
     """
     all_xyz, all_rgb = [], []
@@ -239,6 +228,8 @@ def fuse_scene(pair_data, load_view, params: DypcdParams = DypcdParams(),
         if r.get("image") is not None:
             img = np.asarray(r["image"])
             all_rgb.append((img[ys, xs] * 255).astype(np.uint8))
+        if mask_dir is not None:
+            save_mask_pngs(mask_dir, ref, photo_mask, geo_mask, final_mask)
         if progress is not None:
             progress(ref, float(np.asarray(photo_mask).mean()),
                      float(np.asarray(geo_mask).mean()),
