@@ -123,7 +123,9 @@ def forward(params, imgs, proj_matrices, depth_values,
                                       _bshape(depth_max_g, disp.ndim))
 
     # ---- feature extraction: all views through the FPN in one batch ----
-    with scope(ctx, "feature"):
+    # (per-view BN statistics via stat_groups — the reference loops views,
+    # Effi_MVS_plus.py:432-434, so its train-mode BN stats are per view)
+    with scope(ctx, "feature"), nn.stat_groups(ctx, V):
         feats = blocks.feature_net(imgs.reshape(B * V, H, W, 3),
                                    params["feature"], ctx)
     feats = {k: v.reshape(B, V, *v.shape[1:]) for k, v in feats.items()}

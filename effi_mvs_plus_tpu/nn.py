@@ -56,6 +56,7 @@ class Ctx:
         self.axis_name = axis_name  # cross-replica BN stats when under shard_map
         self.updates: dict = {}
         self._path: list = []
+        self.bn_groups: int = 1
 
     @contextlib.contextmanager
     def scope(self, name: str):
@@ -65,6 +66,27 @@ class Ctx:
         finally:
             self._path.pop()
 
+    @contextlib.contextmanager
+    def stat_groups(self, groups: int):
+        """Batch-norm statistic grouping: within this context the leading
+        batch axis is treated as (B, groups) flattened row-major and BN
+        computes independent statistics per group.
+
+        The reference extracts per-view features in a Python loop
+        (`for nview_idx ...: self.feature(img)`,
+        /root/reference/models/Effi_MVS_plus.py:432-434), so its train-mode
+        BN statistics are PER VIEW.  We batch all views through the FPN in
+        one conv launch (the TPU-efficient shape) — this context restores
+        the reference's per-view statistic semantics so the optimization
+        landscape matches exactly (pinned by tests/test_grad_parity.py).
+        """
+        prev = self.bn_groups
+        self.bn_groups = int(groups)
+        try:
+            yield
+        finally:
+            self.bn_groups = prev
+
     def record_bn(self, mean, var):
         node = self.updates
         for p in self._path[:-1]:
@@ -73,9 +95,14 @@ class Ctx:
 
     def dropout_rng(self):
         assert self.rng is not None, "training Ctx needs an rng for dropout"
+        # zlib.crc32 is a stable digest: Python's str hash is salted per
+        # process (PYTHONHASHSEED), which would trace different fold-in
+        # constants on different hosts of an SPMD job and silently diverge
+        # the dropout masks (and thus the parameters) across hosts.
+        import zlib
         key = self.rng
         for p in self._path:
-            key = jax.random.fold_in(key, hash(p) & 0x7FFFFFFF)
+            key = jax.random.fold_in(key, zlib.crc32(p.encode()) & 0x7FFFFFFF)
         return key
 
 
@@ -84,6 +111,13 @@ def scope(ctx: Optional[Ctx], name: str):
     if ctx is None:
         return contextlib.nullcontext()
     return ctx.scope(name)
+
+
+def stat_groups(ctx: Optional[Ctx], groups: int):
+    """BN stat-grouping helper usable whether or not a Ctx is active."""
+    if ctx is None:
+        return contextlib.nullcontext()
+    return ctx.stat_groups(groups)
 
 
 def _tuple(v, n):
@@ -149,7 +183,42 @@ def conv_transpose3d(x, w, b=None, stride=1, padding=0, output_padding=0):
 
 
 def batch_norm(x, p: Params, ctx: Optional[Ctx] = None, eps: float = 1e-5):
-    """Torch BatchNorm{2,3}d.  Channel axis is last; stats over all others."""
+    """Torch BatchNorm{2,3}d.  Channel axis is last; stats over all others.
+
+    Under ``ctx.stat_groups(G)`` the leading axis is (B, G) flattened and
+    training statistics are computed independently per group g (= per view
+    for the view-batched feature net), reproducing the reference's
+    per-view-call BN semantics in one batched conv launch.
+    """
+    g = ctx.bn_groups if (ctx is not None and ctx.train) else 1
+    if ctx is not None and ctx.train and g > 1:
+        B = x.shape[0] // g
+        xg = x.reshape(B, g, *x.shape[1:]).astype(jnp.float32)
+        axes = (0,) + tuple(range(2, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=axes)                       # (g, C)
+        var = jnp.mean(jnp.square(xg), axis=axes) - jnp.square(mean)
+        if ctx.axis_name is not None:
+            mean = lax.pmean(mean, ctx.axis_name)
+            var = lax.pmean(var, ctx.axis_name)
+        n = B
+        for a in axes[1:]:
+            n *= xg.shape[a]
+        if ctx.axis_name is not None:
+            n *= lax.psum(1, ctx.axis_name)
+        unbiased = var * (n / max(n - 1, 1))
+        # the reference updates running stats once per view IN ORDER
+        # (v = 0..g-1): r' = (1-m)^g r + m * sum_v (1-m)^(g-1-v) stat_v
+        m = ctx.momentum
+        w = m * (1 - m) ** jnp.arange(g - 1, -1, -1, dtype=jnp.float32)
+        ctx.record_bn((1 - m) ** g * p["running_mean"] + w @ mean,
+                      (1 - m) ** g * p["running_var"] + w @ unbiased)
+        inv = lax.rsqrt(var + eps)                           # (g, C)
+        bshape = (1, g) + (1,) * (xg.ndim - 3) + (-1,)
+        scale = (p["weight"] * inv).reshape(bshape).astype(x.dtype)
+        shift = (p["bias"] - mean * p["weight"] * inv) \
+            .reshape(bshape).astype(x.dtype)
+        return (x.reshape(xg.shape).astype(x.dtype) * scale
+                + shift).reshape(x.shape)
     if ctx is not None and ctx.train:
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)

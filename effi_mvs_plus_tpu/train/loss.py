@@ -47,12 +47,30 @@ def mvs_loss(depth_preds, depth_gt_stages, mask_stages, loss_rate=1.0,
     return total, per
 
 
-def abs_depth_error(pred, gt, mask):
-    return masked_mean(jnp.abs(pred - gt), mask > 0.5)
+def _per_image_mean(values, sel):
+    """Mean over selected pixels per image, then mean over batch — the
+    reference computes every metric per image and stacks
+    (utils.py:126-137 compute_metrics_for_each_image)."""
+    axes = tuple(range(1, values.ndim))
+    w = sel.astype(values.dtype)
+    per_img = jnp.sum(values * w, axes) / jnp.maximum(jnp.sum(w, axes), 1.0)
+    return jnp.mean(per_img)
+
+
+def abs_depth_error(pred, gt, mask, band=None):
+    """Reference AbsDepthError_metrics (utils.py:151-160): mean |err| over
+    masked pixels; with ``band=(lo, hi)`` restricted to errors in
+    [lo, hi] (the banded variants of train.py:332-338), 0 when the band
+    selects nothing."""
+    err = jnp.abs(pred - gt)
+    sel = mask > 0.5
+    if band is not None:
+        sel = sel & (err >= band[0]) & (err <= band[1])
+    return _per_image_mean(err, sel)
 
 
 def threshold_error(pred, gt, mask, thresh):
-    """Fraction of valid pixels with |err| > thresh (reference
-    utils.py:139-160 Thres_metrics)."""
+    """Fraction of valid pixels with |err| > thresh, per image then
+    batch-meaned (reference utils.py:139-148 Thres_metrics)."""
     err = jnp.abs(pred - gt)
-    return masked_mean((err > thresh).astype(jnp.float32), mask > 0.5)
+    return _per_image_mean((err > thresh).astype(jnp.float32), mask > 0.5)

@@ -59,25 +59,42 @@ def make_train_step(cfg: EffiMVSConfig, optimizer, loss_rate=1.0):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_eval_step(cfg: EffiMVSConfig):
-    """No-grad eval step with the reference's test metrics
-    (train.py:293-353): abs error + scaled threshold outlier fractions."""
+def make_eval_step(cfg: EffiMVSConfig, loss_rate=1.0):
+    """No-grad eval step emitting EXACTLY the reference's
+    ``test_sample_depth`` scalar suite (/root/reference/train.py:293-338):
+    loss, depth_loss (= l12, the last prediction), fixed absolute
+    thresholds 0.125/0.25/0.5/1/20 mm under the historical
+    thres{2,4,8,14,20}mm_error names, six banded AbsDepthError stats, and
+    per-prediction losses l0..l12."""
+
+    # (key name, absolute threshold) — the names are historical misnomers
+    # carried from the reference; the VALUES are what matters for parity.
+    _THRES = (("thres2mm_error", 0.125), ("thres4mm_error", 0.25),
+              ("thres8mm_error", 0.5), ("thres14mm_error", 1.0),
+              ("thres20mm_error", 20.0))
+    _BANDS = (("thres2mm_abserror", (0.0, 2.0)),
+              ("thres4mm_abserror", (2.0, 4.0)),
+              ("thres8mm_abserror", (4.0, 8.0)),
+              ("thres14mm_abserror", (8.0, 14.0)),
+              ("thres20mm_abserror", (14.0, 20.0)),
+              ("thres>20mm_abserror", (20.0, 1e5)))
 
     def step(params, batch):
         out = forward(params, batch["imgs"], batch["proj_matrices"],
                       batch["depth_values"], cfg, ctx=None)
         depth = out["depth"][-1]
+        total, per = mvs_loss(out["depth"], batch["depth"], batch["mask"],
+                              loss_rate)
         gt = batch["depth"]["stage4"]
         mask = batch["mask"]["stage4"]
-        dv = batch["depth_values"]
-        scale = 1.0 / ((dv[:, 0] + dv[:, -1]) / 2.0) / 1000.0  # ~mid depth, m
-        scale = scale[:, None, None]
-        m = {"abs_depth_error": abs_depth_error(depth, gt, mask)}
-        for t in (2.0, 4.0, 8.0):
-            m[f"thres{int(t)}mm_error"] = threshold_error(depth, gt, mask, t)
-        for t in (0.125, 0.25, 0.5, 1.0):
-            m[f"thres{t}_scaled"] = threshold_error(
-                depth * scale, gt * scale, mask, t)
+        m = {"loss": total,
+             "depth_loss": per[f"l{len(out['depth']) - 1}"],
+             "abs_depth_error": abs_depth_error(depth, gt, mask)}
+        for name, t in _THRES:
+            m[name] = threshold_error(depth, gt, mask, t)
+        for name, band in _BANDS:
+            m[name] = abs_depth_error(depth, gt, mask, band)
+        m.update(per)
         return m, depth
 
     return jax.jit(step)
