@@ -61,9 +61,11 @@ class EffiMVSConfig:
     num_stage: int = 3
     compute_dtype: jnp.dtype = jnp.float32
     # warp+correlate implementation: 'auto' = pallas kernel on TPU, XLA
-    # gather elsewhere; 'pallas' / 'xla' force.  The pallas kernel assumes
-    # calibrated-rig geometry (bounded epipolar support — validate with
-    # ops.pallas_warp.region_fits for unusual camera setups).
+    # gather elsewhere; 'pallas' / 'xla' force.  The pallas path is
+    # geometry-safe: a traced predicate (ops.pallas_warp.support_fits)
+    # checks each batch's projected support against the kernel's static
+    # region margins and lax.cond-falls back to the exact XLA gather path
+    # for wilder cameras — no silent zeroing.
     warp_impl: str = "auto"
 
 

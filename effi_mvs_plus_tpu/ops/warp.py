@@ -37,12 +37,14 @@ def bilinear_gather(fea, px, py):
     fea: (B, H, W, C); px, py: (B, N) pixel coordinates.
     Returns (B, N, C).
 
-    One ``lax.gather`` of a (2, 2, C) block per sample from a zero-padded
-    copy of the map (instead of four scalar-indexed taps): 4x fewer gather
-    indices, and each block is a contiguous 2-row read.  Zeros padding
-    falls out of the 1-pixel zero border; samples whose 2x2 support lies
-    fully outside [-1, S-1+1) are masked to zero (any partially-inside
-    support reads the correct zeros from the border).
+    Four per-tap ``take_along_axis`` gathers on the row-flattened map.  An
+    earlier version gathered one (2, 2, C) block per sample, but TPU pads
+    a (2, 2, C) gather result to full (sublane, lane) tiles — 64x memory
+    amplification — which blows up buffer assignment at large shapes (the
+    compile helper dies at stage-3 eval shapes with B>=6).  Flat (1, C)
+    taps pad only the channel axis and compile at every deployed shape;
+    zeros padding is exact per tap (an out-of-image tap contributes 0,
+    weights NOT renormalised — module.py:340-341 semantics).
     """
     B, H, W, C = fea.shape
     x0f = jnp.floor(px)
@@ -52,33 +54,21 @@ def bilinear_gather(fea, px, py):
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    padded = jnp.pad(fea, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # support fully valid after clip <=> x0 in [-1, W-1], y0 in [-1, H-1]
-    valid = ((x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1))
-    xs = jnp.clip(x0 + 1, 0, W)       # padded coords; start W keeps the
-    ys = jnp.clip(y0 + 1, 0, H)       # 2-wide block inside width W+2
+    flat = fea.reshape(B, H * W, C)
 
-    starts = jnp.stack([ys, xs], axis=-1)               # (B, N, 2)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    blocks = lax.gather(
-        padded, starts, dnums, slice_sizes=(1, 2, 2, C),
-        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)   # (B, N, 2, 2, C)
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.where(inb, yi * W + xi, 0)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return jnp.where(inb[..., None], v, 0)
 
-    w00 = (1 - wx) * (1 - wy)
-    w01 = wx * (1 - wy)
-    w10 = (1 - wx) * wy
-    w11 = wx * wy
-    out = (blocks[:, :, 0, 0] * w00[..., None]
-           + blocks[:, :, 0, 1] * w01[..., None]
-           + blocks[:, :, 1, 0] * w10[..., None]
-           + blocks[:, :, 1, 1] * w11[..., None])
-    return jnp.where(valid[..., None], out, 0).astype(fea.dtype)
+    w00 = ((1 - wx) * (1 - wy))[..., None]
+    w01 = (wx * (1 - wy))[..., None]
+    w10 = ((1 - wx) * wy)[..., None]
+    w11 = (wx * wy)[..., None]
+    out = (tap(x0, y0) * w00 + tap(x0 + 1, y0) * w01
+           + tap(x0, y0 + 1) * w10 + tap(x0 + 1, y0 + 1) * w11)
+    return out.astype(fea.dtype)
 
 
 def homo_warp(src_fea, rot, trans, depth):

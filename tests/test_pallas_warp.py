@@ -125,8 +125,9 @@ def test_views_fused_matches_per_view_loop():
 
 
 def test_unsupported_shapes_fall_back():
-    # W < TILE_COLS -> must silently use the XLA path
-    H, W, C, D = 32, 96, 8, 2
+    # W < 64 is below the kernel's support -> must use the XLA path exactly
+    H, W, C, D = 32, 48, 8, 2
+    assert not pw._supported(H, W, C, D, 1)
     rng = np.random.default_rng(3)
     ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
     src = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
@@ -138,3 +139,65 @@ def test_unsupported_shapes_fall_back():
     got = np.asarray(pw.warp_correlate_fused(ref, src, rot, tr, depth, 1,
                                              True))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # one-tile-wide maps (96 -> padded 128) stay on the pallas path and
+    # agree to kernel tolerance
+    H, W = 32, 96
+    assert pw._supported(H, W, C, D, 1)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    rot, tr = _rig(H, W)
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+    want = np.asarray(xw.warp_correlate(ref, src, rot, tr, depth, 1))
+    got = np.asarray(pw.warp_correlate_fused(ref, src, rot, tr, depth, 1,
+                                             True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_wild_geometry_auto_falls_back_exact():
+    """Geometry beyond the kernel's static region margins must produce the
+    EXACT XLA result (the traced support_fits predicate routes the whole
+    batch to the gather path) — not silently-zeroed correlations."""
+    H, W, C, D = 104, 144, 8, 3
+    rng = np.random.default_rng(5)
+    ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(1, 1, H, W, C)).astype(np.float32))
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+    # projective distortion: py sweeps tens of pixels across one tile
+    bad = np.eye(3, dtype=np.float32)
+    bad[2, 0] = 2e-3
+    rots = jnp.asarray(bad[None, None])
+    trs = jnp.zeros((1, 1, 3))
+
+    assert not bool(pw.support_fits(rots, trs, depth, H, W, C))
+
+    want = np.asarray(pw._views_xla(ref, src, rots, trs, depth, 1))
+    got = np.asarray(pw.warp_correlate_views_fused(ref, src, rots, trs,
+                                                   depth, 1, True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.abs(want).max() > 0.01, "degenerate test scene"
+
+    # gradients take the same fallback
+    gx = jax.grad(lambda a, b: jnp.sum(
+        pw._views_xla(a, b, rots, trs, depth, 1) ** 2),
+        argnums=(0, 1))(ref, src)
+    gp = jax.grad(lambda a, b: jnp.sum(
+        pw.warp_correlate_views_fused(a, b, rots, trs, depth, 1, True)
+        ** 2), argnums=(0, 1))(ref, src)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_support_fits_accepts_calibrated_rig():
+    """The predicate must pass (and thus keep the pallas fast path) for the
+    DTU-like calibrated rigs every other test uses."""
+    H, W, C, D = 104, 144, 32, 6
+    rot, tr = _rig(H, W)
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (1, D, H, W)).copy())
+    assert bool(pw.support_fits(rot[None], tr[None], depth, H, W, C))
