@@ -18,21 +18,25 @@ import os
 import numpy as np
 
 
-def build_parser():
+def build_parser(profile_name="tank_eval"):
+    from effi_mvs_plus_tpu.config import get_profile, apply_profile_defaults
     p = argparse.ArgumentParser("effi-mvs-plus-tpu test_tank")
+    p.add_argument("--profile", default=profile_name,
+                   help="named preset from config.PROFILES")
     p.add_argument("--testpath", required=True)
     p.add_argument("--loadckpt", required=True)
     p.add_argument("--outdir", default="./outputs/tank")
     p.add_argument("--savedir", default=None)
     p.add_argument("--scenes", nargs="+", default=["Horse"])
-    p.add_argument("--ndepths", type=str, default="96,8,8")
+    p.add_argument("--ndepths", type=str)
     p.add_argument("--GRUiters", type=str, default="3,3,3")
-    p.add_argument("--CostNum", type=int, default=3)
-    p.add_argument("--numdepth", type=int, default=384)
-    p.add_argument("--num_view", type=int, default=11)
+    p.add_argument("--CostNum", type=int)
+    p.add_argument("--numdepth", type=int)
+    p.add_argument("--num_view", type=int)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--skip_depth", action="store_true")
     p.add_argument("--skip_fusion", action="store_true")
+    apply_profile_defaults(p, get_profile(profile_name))
     return p
 
 
@@ -129,7 +133,10 @@ def fuse_scene_tank(args, scene):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--profile", default="tank_eval")
+    ns, _ = pre.parse_known_args(argv)
+    args = build_parser(ns.profile).parse_args(argv)
     # multi-host scene parallelism (same partitioning as test_dtu)
     from effi_mvs_plus_tpu import parallel
     if parallel.initialize():

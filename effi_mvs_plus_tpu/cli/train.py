@@ -21,38 +21,43 @@ import time
 import numpy as np
 
 
-def build_parser():
+def build_parser(profile_name="dtu_train"):
+    from effi_mvs_plus_tpu.config import get_profile, apply_profile_defaults
     p = argparse.ArgumentParser("effi-mvs-plus-tpu train")
+    p.add_argument("--profile", default=profile_name,
+                   help="named preset from config.PROFILES "
+                        "(dtu_train / blend_finetune)")
     p.add_argument("--mode", default="train",
                    choices=["train", "finetune", "test", "profile"])
-    p.add_argument("--dataset", default="dtu_yao")
+    p.add_argument("--dataset")
     p.add_argument("--trainpath", required=False)
     p.add_argument("--testpath", default=None)
     p.add_argument("--trainlist", required=False)
     p.add_argument("--testlist", required=False)
-    p.add_argument("--epochs", type=int, default=16)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--wd", type=float, default=1e-3)
-    p.add_argument("--lossrate", type=float, default=1.0)
-    p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--numdepth", type=int, default=384)
-    p.add_argument("--interval_scale", type=float, default=0.53)
-    p.add_argument("--trainviews", type=int, default=5)
-    p.add_argument("--testviews", type=int, default=5)
-    p.add_argument("--ndepths", type=str, default="48,8,8")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--wd", type=float)
+    p.add_argument("--lossrate", type=float)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--numdepth", type=int)
+    p.add_argument("--interval_scale", type=float)
+    p.add_argument("--trainviews", type=int)
+    p.add_argument("--testviews", type=int)
+    p.add_argument("--ndepths", type=str)
     p.add_argument("--GRUiters", type=str, default="3,3,3")
-    p.add_argument("--CostNum", type=int, default=3)
+    p.add_argument("--CostNum", type=int)
     p.add_argument("--logdir", default="./checkpoints/run")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--loadckpt", default=None,
                    help="init weights from a checkpoint (.ckpt torch or "
                         ".pkl native) — finetune entry")
-    p.add_argument("--summary_freq", type=int, default=50)
-    p.add_argument("--save_freq", type=int, default=1)
-    p.add_argument("--seed", type=int, default=1)
-    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--summary_freq", type=int)
+    p.add_argument("--save_freq", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--num_workers", type=int)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="devices on the mesh data axis (default: all)")
+    apply_profile_defaults(p, get_profile(profile_name))
     return p
 
 
@@ -82,7 +87,15 @@ def load_initial_params(args, cfg, rng):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    # two-phase parse: --profile (or --mode finetune) picks the preset the
+    # remaining defaults come from; explicit flags still win
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--profile", default=None)
+    pre.add_argument("--mode", default="train")
+    ns, _ = pre.parse_known_args(argv)
+    profile = ns.profile or ("blend_finetune" if ns.mode == "finetune"
+                             else "dtu_train")
+    args = build_parser(profile).parse_args(argv)
     import jax
     from effi_mvs_plus_tpu import parallel
     from effi_mvs_plus_tpu.data import find_dataset
