@@ -3,9 +3,10 @@
 import numpy as np
 import jax.numpy as jnp
 
-from effi_mvs_plus_tpu.fuse.dypcd import (consistency, consistency_tank,
-                                          DypcdParams, TankParams,
-                                          backproject_to_world, fuse_scene)
+from effi_mvs_plus_tpu.fuse.dypcd import (consistency, consistency_scene,
+                                          consistency_tank, DypcdParams,
+                                          TankParams, backproject_to_world,
+                                          fuse_scene, fuse_scene_device)
 from effi_mvs_plus_tpu.fuse.ply import write_ply, read_ply
 
 
@@ -95,6 +96,73 @@ def test_backproject_roundtrip():
     p = p / p[2]
     assert abs(p[0] - 12) < 1e-4 and abs(p[1] - 10) < 1e-4
     assert abs(xyz[0][2] - 5.0) < 1e-5
+
+
+def test_scene_batched_matches_per_ref_dispatch():
+    """consistency_scene (device-resident, lax.map-chunked) must agree
+    bitwise with the per-reference consistency calls it replaces."""
+    rng = np.random.default_rng(3)
+    H, W, N, S = 20, 28, 5, 3
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    depths, confs, Es = [], [], []
+    for v in range(N):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = 0.3 * v
+        Es.append(E)
+        depths.append((5.0 + 0.05 * rng.standard_normal((H, W)))
+                      .astype(np.float32))
+        confs.append(rng.uniform(0.2, 1.0, (H, W)).astype(np.float32))
+    Ks = np.stack([K] * N)
+    pair = [(r, [(r + k + 1) % N for k in range(S)]) for r in range(N)]
+    ref_ids = jnp.asarray([r for r, _ in pair], jnp.int32)
+    src_ids = jnp.asarray([s for _, s in pair], jnp.int32)
+
+    fin_b, fus_b, geo_b, pho_b = consistency_scene(
+        jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(confs)),
+        jnp.asarray(Ks), jnp.asarray(np.stack(Es)),
+        ref_ids, src_ids, DypcdParams(), 2)
+    for i, (r, srcs) in enumerate(pair):
+        fin, fus, geo, pho = consistency(
+            jnp.asarray(depths[r]), jnp.asarray(confs[r]), jnp.asarray(K),
+            jnp.asarray(Es[r]), jnp.asarray(np.stack([depths[s] for s in srcs])),
+            jnp.asarray(np.stack([Ks[s] for s in srcs])),
+            jnp.asarray(np.stack([Es[s] for s in srcs])), DypcdParams())
+        np.testing.assert_array_equal(np.asarray(fin_b[i]), np.asarray(fin))
+        # different compilations (lax.map body vs standalone jit) reassociate
+        # the einsum chains -> last-ulp drift on the fused average
+        np.testing.assert_allclose(np.asarray(fus_b[i]), np.asarray(fus),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(geo_b[i]), np.asarray(geo))
+        np.testing.assert_array_equal(np.asarray(pho_b[i]), np.asarray(pho))
+
+
+def test_fuse_scene_device_matches_callback_path():
+    depth_ref, depth_src, K, E_ref, E_src = make_two_view_plane()
+    conf = np.full(depth_ref.shape, 0.9, np.float32)
+    views = {
+        0: {"depth": depth_ref, "conf": conf, "K": K, "E": E_ref,
+            "image": None},
+        1: {"depth": depth_src, "conf": conf, "K": K, "E": E_src,
+            "image": None},
+    }
+    pair = [(0, [1]), (1, [0])]
+    xyz_d, _ = fuse_scene_device(pair, views)
+    # per-ref legacy path, forced by giving the two views distinct shapes?
+    # no — call the per-ref core directly for the same answer
+    all_xyz = []
+    for r, srcs in pair:
+        fin, fus, _, _ = consistency(
+            jnp.asarray(views[r]["depth"]), jnp.asarray(views[r]["conf"]),
+            jnp.asarray(views[r]["K"]), jnp.asarray(views[r]["E"]),
+            jnp.asarray(np.stack([views[s]["depth"] for s in srcs])),
+            jnp.asarray(np.stack([views[s]["K"] for s in srcs])),
+            jnp.asarray(np.stack([views[s]["E"] for s in srcs])),
+            DypcdParams())
+        xyz, _ = backproject_to_world(np.asarray(fus), np.asarray(fin),
+                                      views[r]["K"], views[r]["E"])
+        all_xyz.append(xyz)
+    xyz_ref = np.concatenate(all_xyz, 0)
+    np.testing.assert_allclose(xyz_d, xyz_ref, rtol=1e-6)
 
 
 def test_fuse_scene_and_ply_roundtrip(tmp_path):
