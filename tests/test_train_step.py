@@ -4,6 +4,7 @@ stats move, masked params (BN stats) are untouched by the optimizer."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from effi_mvs_plus_tpu.models import EffiMVSConfig, init_params
 from effi_mvs_plus_tpu.train.optim import make_optimizer
@@ -47,6 +48,44 @@ def test_train_step_decreases_loss_and_updates_bn():
     # running_var must remain positive (weight decay would drag it down)
     rv = np.asarray(params["feature"]["conv0.0"]["bn"]["running_var"])
     assert (rv > 0).all()
+
+
+@pytest.mark.slow
+def test_overfit_fixed_batch_to_submm():
+    """Optimization-landscape sanity (VERDICT r1 #9): the full train step
+    must be able to overfit a fixed synthetic batch to sub-millimetre
+    masked abs error — this exercises gradient flow through every module
+    (feature/context nets, pallas-or-XLA warp, U-Net, CSP, GRUs, convex
+    upsample) far beyond the 8-step trend test above."""
+    cfg = EffiMVSConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, H, W = 1, 32, 64
+    batch = _batch(B=B, H=H, W=W)
+    # learnable target: one smooth slanted plane per stage (random per-pixel
+    # GT as in _batch is unlearnable; a smooth field is what training data
+    # actually looks like)
+    for k, s in (("stage1", 8), ("stage2", 4), ("stage3", 2), ("stage4", 1)):
+        h, w = H // s, W // s
+        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+        plane = 600.0 + 120.0 * x / w + 60.0 * y / h
+        batch["depth"][k] = np.broadcast_to(plane, (B, h, w)).copy()
+        batch["mask"][k] = np.ones((B, h, w), np.float32)
+
+    # trajectory measured on CPU (lr 3e-3, OneCycle over 600): abs error
+    # 146 mm -> ~5 mm by step 300 -> sub-mm from ~step 450
+    steps = 600
+    opt, _ = make_optimizer(3e-3, steps, params=params)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+    rng = jax.random.PRNGKey(0)
+    best = np.inf
+    for i in range(steps):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          jax.random.fold_in(rng, i))
+        best = min(best, float(metrics["abs_depth_error"]))
+        if best < 0.8 and i > 50:
+            break
+    assert best < 1.0, f"best abs error {best:.3f} mm after {i + 1} steps"
 
 
 def test_eval_step_metrics_shapes():
