@@ -95,6 +95,30 @@ def _align_down(v, m):
     return (v // m) * m
 
 
+def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024):
+    """Depth planes fused per kernel step.  Larger chunks amortize the
+    per-step fixed cost (grid step, origin check, out/px/py block DMAs) —
+    measured ~5-7 us/step of the 11.3 us stage-3 step time — but grow the
+    in-kernel (Qr*C, DB*P) f32 accumulator; cap it at `budget_bytes` so
+    stage 1 (C=32) picks 4 while stages 2/3 pick 8."""
+    qrc = REGION_ROWS * C
+    for db in (8, 6, 5, 4, 3, 2, 1):
+        if D % db == 0 and qrc * db * P * 4 <= budget_bytes:
+            return db
+    return 1
+
+
+def _chunk_planes(x, BV, D, DB):
+    """(BV*D, T, P) tile-flat -> (BV, D/DB, T, DB*P): the DB planes of a
+    chunk laid side by side along the lane axis (plane-major), done on the
+    XLA side because cross-lane reshapes are illegal in-kernel."""
+    BVD, T, P = x.shape
+    Dc = D // DB
+    return (x.reshape(BV, Dc, DB, T, P)
+             .transpose(0, 1, 3, 2, 4)
+             .reshape(BV, Dc, T, DB * P))
+
+
 def _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C):
     """Aligned region origins anchored at each (depth, tile)'s projected
     support minimum (so the alignment round-down only ADDS coverage),
@@ -133,7 +157,8 @@ def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C,
 
 def _support_fits_traced(px, py, H, W, Hs, Ws, C,
                          tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
-                         region_rows=REGION_ROWS, region_cols=REGION_COLS):
+                         region_rows=REGION_ROWS, region_cols=REGION_COLS,
+                         depth_chunk=1):
     """Traced geometry-safety predicate: True iff, with the EXACT origins
     the kernel will use, every in-image bilinear tap of every (view, depth,
     tile) sample lands inside its static region.
@@ -149,13 +174,19 @@ def _support_fits_traced(px, py, H, W, Hs, Ws, C,
     against (H and the lane-padded width).  Left-side taps are always
     covered by construction (origins anchor at the support minimum and
     clamping only moves them down), so only the region's far edge can cut
-    off in-image taps.
+    off in-image taps.  `depth_chunk` must equal the kernel's plane
+    fusion factor — a chunk shares one origin (the min over its planes).
     """
     BV, D = px.shape[:2]
     pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     pxf = _tile_flat(pxp, tile_rows, tile_cols)      # (BV*D, T, P)
     pyf = _tile_flat(pyp, tile_rows, tile_cols)
+    if depth_chunk > 1:
+        # per-chunk granularity: (BV, Dc, T, DB*P); the axis=-1 reductions
+        # below then aggregate over a whole chunk, matching the kernel
+        pxf = _chunk_planes(pxf, BV, D, depth_chunk)
+        pyf = _chunk_planes(pyf, BV, D, depth_chunk)
     ox, oy = _origin_xy(pxf, pyf, Hs, Ws, region_rows, region_cols, C)
     # rightmost in-image tap column/row each sample needs covered
     col = jnp.where((pxf > -1.0) & (pxf < W),
@@ -168,22 +199,25 @@ def _support_fits_traced(px, py, H, W, Hs, Ws, C,
                    & (row <= oy + region_rows - 1))
 
 
-def support_fits(rots, transs, depth, H, W, C):
+def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
+                 px=None, py=None):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
-    standalone diagnostic."""
-    B, V = rots.shape[:2]
+    standalone diagnostic.  `depth_chunk` defaults to the same auto choice
+    the forward kernel makes (chunk-fits implies per-plane-fits, so this
+    predicate is also valid for the per-plane backward kernel).  Pass
+    px/py to reuse an already-computed projection field."""
     D = depth.shape[1]
-    BV = B * V
-    px, py = geometry.project_to_src(
-        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
-        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
-            BV, D, H, W), H, W)
+    if px is None or py is None:
+        px, py = _project_views(rots, transs, depth, H, W)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
+    if depth_chunk is None:
+        depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS)
     return _support_fits_traced(
-        lax.stop_gradient(px), lax.stop_gradient(py), H, W, H, Wa, C,
-        region_rows=min(REGION_ROWS, H), region_cols=min(REGION_COLS, Wa))
+        px, py, H, W, H, Wa, C,
+        region_rows=min(REGION_ROWS, H), region_cols=min(REGION_COLS, Wa),
+        depth_chunk=depth_chunk)
 
 
 def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
@@ -252,19 +286,35 @@ def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
     out_ref[0, 0, 0] = corr.astype(out_ref.dtype)       # (1, P)
 
 
+def _project_views(rots, transs, depth, H, W):
+    """Per-view projected source coords (BV, D, H, W), stop-gradient (the
+    reference computes the warp grid under no_grad, module.py:313)."""
+    B, V = rots.shape[:2]
+    D = depth.shape[1]
+    BV = B * V
+    px, py = geometry.project_to_src(
+        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
+        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
+            BV, D, H, W), H, W)
+    return lax.stop_gradient(px), lax.stop_gradient(py)
+
+
 def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
                                  tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
                                  region_rows=REGION_ROWS,
                                  region_cols=REGION_COLS,
-                                 interpret=False):
+                                 interpret=False, depth_chunk=None,
+                                 px=None, py=None):
     """Batched fused warp+correlate over all source views (G=1).
 
     ref_fea: (B, H, W, C); src_feas: (B, V, H, W, C); rots (B,V,3,3);
     transs (B,V,3); depth: (B, D, H, W) actual depths.
     Returns corr (B, V, D, H, W) float32.  ONE pallas_call covers every
-    (batch, view, tile, depth) — ref tiles are shared across a sample's
-    views and the per-tile source region is reused across the depth sweep
-    (depth-fastest grid with origin-change detection).
+    (batch, view, tile, depth-chunk) — ref tiles are shared across a
+    sample's views, the per-tile source region is reused across the depth
+    sweep (depth-fastest grid with origin-change detection), and DB depth
+    planes share each grid step (laid side by side along the lane axis)
+    so the per-step fixed cost amortizes DB-fold.
     """
     B, H, W, C = ref_fea.shape
     V = src_feas.shape[1]
@@ -274,13 +324,12 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     region_cols = min(region_cols, Wa)
     P = tile_rows * tile_cols
     BV = B * V
+    DB = depth_chunk or _auto_depth_chunk(D, C, P)
+    Dc = D // DB
+    PP = DB * P                         # lanes per step
 
-    px, py = geometry.project_to_src(
-        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
-        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
-            BV, D, H, W), H, W)
-    px = lax.stop_gradient(px)                          # (BV, D, H, W) f32
-    py = lax.stop_gradient(py)
+    if px is None or py is None:
+        px, py = _project_views(rots, transs, depth, H, W)
 
     pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
@@ -289,11 +338,18 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     Th, Tw = Hp // tile_rows, Wp // tile_cols
     T = Th * Tw
 
-    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(BV, D, T, 1, P)
-    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(BV, D, T, 1, P)
-    # ref tiles transposed to (B, T, C, P), shared across a sample's views
+    # plane-chunked lane layout (XLA-side; cross-lane reshapes are illegal
+    # in-kernel): (BV, Dc, T, DB*P), chunk planes side by side
+    pxf = _chunk_planes(_tile_flat(pxp, tile_rows, tile_cols), BV, D, DB) \
+        .reshape(BV, Dc, T, 1, PP)
+    pyf = _chunk_planes(_tile_flat(pyp, tile_rows, tile_cols), BV, D, DB) \
+        .reshape(BV, Dc, T, 1, PP)
+    # ref tiles transposed to (B, T, C, P), shared across a sample's views,
+    # replicated along lanes per chunk plane
     reff = refp.reshape(B, Th, tile_rows, Tw, tile_cols, C) \
         .transpose(0, 1, 3, 5, 2, 4).reshape(B, T, C, P)
+    if DB > 1:
+        reff = jnp.concatenate([reff] * DB, axis=-1)    # (B, T, C, DB*P)
 
     # channel-packed rows: src_packed[bv, y*C + c, x] = src[b, v, y, x, c],
     # x-padded with zeros so lane-aligned region slices stay in bounds
@@ -302,29 +358,30 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
         BV, H * C, W)
     if Wa != W:
         src_packed = jnp.pad(src_packed, ((0, 0), (0, 0), (0, Wa - W)))
-    # origins laid out (BV, T, D) to match the grid iteration order; clamp
-    # against the PADDED width (a region may cover the zero columns —
-    # right-edge support would be cut off otherwise)
+    # origins laid out (BV, T, Dc) to match the grid iteration order; one
+    # origin per chunk (min over its planes); clamp against the PADDED
+    # width (a region may cover the zero columns — right-edge support
+    # would be cut off otherwise)
     tags = jnp.arange(BV, dtype=jnp.int32)[:, None, None]
     origins = _compute_origins(
-        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (BV, T, D, P)
+        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (BV, T, Dc, PP)
         pyf[..., 0, :].transpose(0, 2, 1, 3),
         H, Wa, region_rows, region_cols, C,
-        view_ids=jnp.broadcast_to(tags, (BV, T, D)))
+        view_ids=jnp.broadcast_to(tags, (BV, T, Dc)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(BV, T, D),                                # depth fastest
+        grid=(BV, T, Dc),                               # depth fastest
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, P),
+            pl.BlockSpec((1, 1, 1, 1, PP),
                          lambda bv, t, d, s: (bv, d, t, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, P),
+            pl.BlockSpec((1, 1, 1, 1, PP),
                          lambda bv, t, d, s: (bv, d, t, 0, 0)),
-            pl.BlockSpec((1, 1, C, P),
+            pl.BlockSpec((1, 1, C, PP),
                          lambda bv, t, d, s, _V=V: (bv // _V, t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),          # src stays put
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, 1, P),
+        out_specs=pl.BlockSpec((1, 1, 1, 1, PP),
                                lambda bv, t, d, s: (bv, d, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
@@ -334,18 +391,20 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     )
 
     kernel = functools.partial(
-        _kernel, C=C, P=P, region_rows=region_rows, region_cols=region_cols)
+        _kernel, C=C, P=PP, region_rows=region_rows, region_cols=region_cols)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BV, D, T, 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BV, Dc, T, 1, PP), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(origins, pxf, pyf, reff, src_packed)
-    out = _tile_unflat(out[:, :, :, 0, :].reshape(BV * D, T, P),
-                       Hp, Wp, tile_rows, tile_cols)
+    # un-chunk: (BV, Dc, T, DB, P) -> (BV*D, T, P)
+    out = out.reshape(BV, Dc, T, DB, P).transpose(0, 1, 3, 2, 4) \
+        .reshape(BV * D, T, P)
+    out = _tile_unflat(out, Hp, Wp, tile_rows, tile_cols)
     return out.reshape(B, V, D, Hp, Wp)[..., :H, :W]
 
 
@@ -512,7 +571,7 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
                                      tile_cols=TILE_COLS,
                                      region_rows=REGION_ROWS,
                                      region_cols=REGION_COLS,
-                                     interpret=False):
+                                     interpret=False, px=None, py=None):
     """Pallas backward: returns (d_ref (B,H,W,C), d_src (B,V,H,W,C)).
 
     g: (B, V, D, H, W) cotangent of the correlations.
@@ -526,12 +585,8 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
     P = tile_rows * tile_cols
     BV = B * V
 
-    px, py = geometry.project_to_src(
-        rots.reshape(BV, 3, 3), transs.reshape(BV, 3),
-        jnp.broadcast_to(depth[:, None], (B, V, D, H, W)).reshape(
-            BV, D, H, W), H, W)
-    px = lax.stop_gradient(px)
-    py = lax.stop_gradient(py)
+    if px is None or py is None:
+        px, py = _project_views(rots, transs, depth, H, W)
 
     pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
@@ -656,13 +711,16 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     # geometry-safety dispatch: the pallas kernel silently zeroes in-image
     # taps that fall outside its static regions, so cameras wilder than the
     # configured margins automatically take the exact XLA gather path
-    # instead (both branches compile once; only one executes per batch)
-    fits = support_fits(rots, transs, depth, H, W, C)
+    # instead (both branches compile once; only one executes per batch).
+    # The projection field is computed ONCE and shared by the predicate
+    # and the kernel wrapper.
+    px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
+    fits = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
     return lax.cond(
         fits,
         lambda: _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            interpret=interpret).astype(ref_fea.dtype),
+            interpret=interpret, px=px, py=py).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
                            groups).astype(ref_fea.dtype))
 
@@ -688,13 +746,16 @@ def _views_bwd(groups, interpret, res, g):
     if _supported(H, W, C, D, groups):
         # pallas backward — the XLA gather/scatter fallback pads its
         # (...,2,2,C) blocks 64x on TPU and OOMs HBM at training shapes —
-        # under the same geometry-safety cond as the forward
-        fits = support_fits(rots, transs, depth, H, W, C)
+        # under the same geometry-safety cond as the forward; one shared
+        # projection field for predicate + kernel
+        px, py = _project_views(rots, transs, depth.astype(jnp.float32),
+                                H, W)
+        fits = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
         d_ref, d_src = lax.cond(
             fits,
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                g.astype(jnp.float32), interpret=interpret),
+                g.astype(jnp.float32), interpret=interpret, px=px, py=py),
             xla_grads)
         return d_ref, d_src, None, None, None
     d_ref, d_src = xla_grads()
