@@ -55,8 +55,7 @@ class InferenceEngine:
         projs = {k: v for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3")}
         B = batch["imgs"].shape[0]
-        if jax.device_count() > 1 and B % _fit_devices(B) == 0 \
-                and _fit_devices(B) > 1:
+        if _fit_devices(B) > 1:
             from effi_mvs_plus_tpu.parallel import fit_data_mesh, shard_batch
             mesh = fit_data_mesh(B)
             put = shard_batch({"imgs": batch["imgs"], "projs": projs,
@@ -75,8 +74,7 @@ class InferenceEngine:
         n_maps = 0
         for batch in loader:
             t0 = time.perf_counter()
-            depth, conf = self.infer_batch(batch)
-            depth_block = depth  # already host numpy => synced
+            depth, conf = self.infer_batch(batch)   # host numpy => synced
             dt = time.perf_counter() - t0
             times.append(dt)
             B = depth.shape[0]

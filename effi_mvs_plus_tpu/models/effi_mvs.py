@@ -149,7 +149,10 @@ def forward(params, imgs, proj_matrices, depth_values,
     vol_dmin = vol_dmax = None            # their per-pixel depth ranges
 
     for s in range(cfg.num_stage):
-        f = feats[f"stage{s + 1}"]                      # (B,V,h,w,C)
+        # model-axis layout: image rows sharded over 'model' when a
+        # spatial policy is active (T&T-resolution HBM relief) — the warp
+        # gathers and conv halos become GSPMD collectives over ICI
+        f = par.constrain_spatial(feats[f"stage{s + 1}"])   # (B,V,h,w,C)
         h, w = f.shape[2], f.shape[3]
         P = geometry.compose_projection(
             proj_matrices[f"stage{s + 1}"].astype(jnp.float32))  # (B,V,4,4)
@@ -162,26 +165,28 @@ def forward(params, imgs, proj_matrices, depth_values,
                 depth_values, cfg.ndepths[0], h, w)
             depth_hyps = 1.0 / drs_disp                 # (B,D,h,w) descending
             rots, trs = _relative_projections(P)
-            sims = _warp_correlate_views(cfg, ref_fea, f[:, 1:], rots, trs,
-                                         depth_hyps.astype(dt))
-            sim_sum = 0.0
-            w_sum = 0.0
-            vws = []
-            for v in range(V - 1):
-                sim = sims[:, v][..., None]             # (B,D,h,w,1)
-                s_det = lax.stop_gradient(sim[..., 0])  # (B,D,h,w), G==1
-                pnorm = jax.nn.softmax(s_det, axis=1)
-                entropy = -jnp.sum(pnorm * jnp.log(pnorm + 1e-7), axis=1)
-                with scope(ctx, "PixelwiseNet"):
-                    vw = blocks.pixelwise_net(entropy[..., None],
-                                              params["PixelwiseNet"], ctx)
-                vws.append(vw[..., 0])
-                vw_ = vw[:, None, :, :, :]              # (B,1,h,w,1)
-                sim_sum = sim_sum + sim * vw_
-                w_sum = w_sum + vw_
-            similarity = sim_sum / (w_sum + 1e-6)       # (B,D,h,w,G)
+            sims = par.constrain_views_volume(_warp_correlate_views(
+                cfg, ref_fea, f[:, 1:], rots, trs, depth_hyps.astype(dt)))
+            # all source views at once (the reference loops views,
+            # Effi_MVS_plus.py:32-61; one batched conv launch is the
+            # TPU-efficient shape, and nn.stat_groups keeps the per-view
+            # BN running-stat chain exact).  The weighted accumulation
+            # over views is associative -> with a view-sharded policy it
+            # becomes a psum over the model axis (SURVEY §5.7).
+            s_det = lax.stop_gradient(sims)             # (B,V-1,D,h,w)
+            pnorm = jax.nn.softmax(s_det, axis=2)
+            entropy = -jnp.sum(pnorm * jnp.log(pnorm + 1e-7), axis=2)
+            with scope(ctx, "PixelwiseNet"), nn.stat_groups(ctx, V - 1):
+                vw = blocks.pixelwise_net(
+                    entropy.reshape(B * (V - 1), h, w, 1),
+                    params["PixelwiseNet"], ctx)        # (B(V-1),h,w,1)
+            vw = vw.reshape(B, V - 1, h, w)
+            view_weights = vw                           # (B,V-1,h,w)
+            vw_ = vw[:, :, None]                        # (B,V-1,1,h,w)
+            sim_sum = jnp.sum(sims * vw_, axis=1)       # (B,D,h,w)
+            w_sum = jnp.sum(vw_, axis=1)                # (B,1,h,w)
+            similarity = (sim_sum / (w_sum + 1e-6))[..., None]  # (B,D,h,w,G)
             similarity = par.constrain_volume(similarity)
-            view_weights = jnp.stack(vws, axis=1)       # (B,V-1,h,w)
 
             with scope(ctx, "cost_regularization"):
                 prob_pre, _pro = blocks.cost_reg_net(
@@ -208,12 +213,13 @@ def forward(params, imgs, proj_matrices, depth_values,
             depth_samples = 1.0 / drs_disp              # (B,8,h,w) descending
 
             rots, trs = _relative_projections(P)
-            sims = _warp_correlate_views(cfg, ref_fea, f[:, 1:], rots, trs,
-                                         depth_samples.astype(dt))
+            sims = par.constrain_views_volume(_warp_correlate_views(
+                cfg, ref_fea, f[:, 1:], rots, trs, depth_samples.astype(dt)))
             vw_ = view_weights[:, :, None]              # (B,V-1,1,h,w)
             sim_sum = jnp.sum(sims * vw_, axis=1)       # (B,8,h,w)
             w_sum = jnp.sum(vw_, axis=1)                # (B,1,h,w)
-            fresh = (sim_sum / (w_sum + 1e-6))[..., None]   # (B,8,h,w,G)
+            fresh = par.constrain_volume(
+                (sim_sum / (w_sum + 1e-6))[..., None])  # (B,8,h,w,G)
 
             new_dmax = depth_samples[:, 0:1]            # (B,1,h,w)
             new_dmin = depth_samples[:, -1:]
@@ -224,15 +230,15 @@ def forward(params, imgs, proj_matrices, depth_values,
             reg_low = ops.resample_volume_at_depths(
                 reg_volume, ds_low, vol_dmin, vol_dmax)
             with scope(ctx, f"CSP_R{s}"):
-                reg_volume = blocks.csp_block(
+                reg_volume = par.constrain_volume(blocks.csp_block(
                     fresh.astype(dt), reg_low[..., None].astype(dt),
-                    params[f"CSP_R{s}"], ctx).astype(jnp.float32)
+                    params[f"CSP_R{s}"], ctx).astype(jnp.float32))
             cur_low = ops.resample_volume_at_depths(
                 cur_volume, ds_low, vol_dmin, vol_dmax)
             with scope(ctx, f"CSP_C{s}"):
-                cur_volume = blocks.csp_block(
+                cur_volume = par.constrain_volume(blocks.csp_block(
                     fresh.astype(dt), cur_low[..., None].astype(dt),
-                    params[f"CSP_C{s}"], ctx).astype(jnp.float32)
+                    params[f"CSP_C{s}"], ctx).astype(jnp.float32))
             vol_dmin, vol_dmax = new_dmin, new_dmax
 
         # ----- ConvGRU iterative refinement over the stored volumes -----
@@ -259,7 +265,7 @@ def forward(params, imgs, proj_matrices, depth_values,
 
         with scope(ctx, f"update_block_depth{s + 1}"):
             _, mask, inv_depth_list = blocks.update_block(
-                hiddens[s].astype(dt), get_cost,
+                par.constrain_spatial(hiddens[s].astype(dt)), get_cost,
                 inv_cur_depth[..., None].astype(dt), contexts[s].astype(dt),
                 params[f"update_block_depth{s + 1}"], cfg.gru_iters[s],
                 scale4, ctx)

@@ -80,19 +80,39 @@ class ShardingPolicy:
         return self._constrain(x, P("data"))
 
     def volume(self, x):
-        """(B, D, H, W, ...) — batch over data, depth hypotheses over
-        model."""
-        if not self.shard_depth:
-            return self._constrain(x, P("data"))
-        rest = [None] * (x.ndim - 2)
-        return self._constrain(x, P("data", "model", *rest))
+        """(B, D, H, W, ...) cost volume — batch over data; depth
+        hypotheses over model (shard_depth), else rows over model
+        (shard_spatial: the T&T-resolution HBM-relief layout, SURVEY
+        §5.7 — the 3-D U-Net / CSP convs get their halos from GSPMD)."""
+        if self.shard_depth:
+            rest = [None] * (x.ndim - 2)
+            return self._constrain(x, P("data", "model", *rest))
+        if self.shard_spatial:
+            rest = [None] * (x.ndim - 3)
+            return self._constrain(x, P("data", None, "model", *rest))
+        return self._constrain(x, P("data"))
 
     def spatial(self, x):
-        """(B, H, W, C) — batch over data, rows over model."""
+        """Feature-layout tensors — batch over data, image rows over
+        model.  Rank 4 (B, H, W, C) and rank 5 (B, V, H, W, C) both
+        shard the H axis (always ndim-3)."""
         if not self.shard_spatial:
             return self._constrain(x, P("data"))
-        rest = [None] * (x.ndim - 2)
-        return self._constrain(x, P("data", "model", *rest))
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        spec[x.ndim - 3] = "model"
+        return self._constrain(x, P(*spec))
+
+    def views_volume(self, x):
+        """(B, V, D, H, W) per-view correlation stack — the largest warp
+        temporary.  Depth policy shards D (axis 2); spatial policy shards
+        rows (axis 3); GSPMD propagates the constraint back into the
+        per-view gathers."""
+        if self.shard_depth:
+            return self._constrain(x, P("data", None, "model", None, None))
+        if self.shard_spatial:
+            return self._constrain(x, P("data", None, None, "model", None))
+        return self._constrain(x, P("data"))
 
 
 _tls = threading.local()
@@ -125,3 +145,8 @@ def constrain_volume(x):
 def constrain_spatial(x):
     pol = _active()
     return pol.spatial(x) if pol is not None else x
+
+
+def constrain_views_volume(x):
+    pol = _active()
+    return pol.views_volume(x) if pol is not None else x
