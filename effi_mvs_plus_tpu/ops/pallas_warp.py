@@ -237,29 +237,59 @@ def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
 
 
 def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
-            region, prev_ref, sem, *, C, P, region_rows, region_cols):
+            region, state, sem, *, C, P, region_rows, region_cols):
     v = pl.program_id(0)
     t = pl.program_id(1)
     d = pl.program_id(2)
-    step = (v * pl.num_programs(1) + t) * pl.num_programs(2) + d
+    T = pl.num_programs(1)
+    Dc = pl.num_programs(2)
+    nsteps = pl.num_programs(0) * T * Dc
+    step = (v * T + t) * Dc + d
     packed = origins_ref[step]
     hi = packed // 65536
     ox = packed - hi * 65536
     oy = hi % 1024
 
-    first = (v == 0) & (t == 0) & (d == 0)
-    stale = jnp.logical_or(first, packed != prev_ref[0])
+    def _copy(view, pk, buf):
+        phi = pk // 65536
+        pox = pk - phi * 65536
+        poy = phi % 1024
+        return pltpu.make_async_copy(
+            src_ref.at[view,
+                       pl.ds(pl.multiple_of(poy * C, 8), region_rows * C),
+                       pl.ds(pl.multiple_of(pox, ALIGN_X), region_cols)],
+            region.at[buf], sem)
 
-    @pl.when(stale)
+    # Double-buffered region pipeline: origins are scalar-prefetched, so
+    # each step issues the NEXT step's region copy before computing and the
+    # synchronous wait disappears behind the MXU/VPU work (the old
+    # start();wait() per origin change stalled stages 2/3, whose origins
+    # change every step).  state: [0]=current buffer, [1]=prefetch pending.
+    first = step == 0
+
+    @pl.when(first)
     def _():
-        dma = pltpu.make_async_copy(
-            src_ref.at[v,
-                       pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
-                       pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
-            region, sem)
+        state[0] = 0
+        state[1] = 0
+        dma = _copy(v, packed, 0)
         dma.start()
         dma.wait()
-        prev_ref[0] = packed
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first), state[1] == 1))
+    def _():
+        # the prefetch issued last step was for THIS step's origin
+        nxt_buf = 1 - state[0]
+        _copy(v, packed, nxt_buf).wait()
+        state[0] = nxt_buf
+        state[1] = 0
+
+    cur = state[0]
+    nxt = origins_ref[jnp.minimum(step + 1, nsteps - 1)]
+
+    @pl.when(jnp.logical_and(step + 1 < nsteps, nxt != packed))
+    def _():
+        _copy((step + 1) // (T * Dc), nxt, 1 - cur).start()
+        state[1] = 1
 
     px = px_ref[0, 0, 0]                                # (1, P) f32 rows
     py = py_ref[0, 0, 0]
@@ -273,7 +303,7 @@ def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
     wy = jnp.maximum(1.0 - jnp.abs(ly - qr), 0.0)       # (Qr, P)
 
     A = jax.lax.dot_general(
-        region[...], wxT.astype(region.dtype),
+        region[cur], wxT.astype(region.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (Qr*C, P)
 
@@ -384,8 +414,8 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
         out_specs=pl.BlockSpec((1, 1, 1, 1, PP),
                                lambda bv, t, d, s: (bv, d, t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
-            pltpu.SMEM((1,), jnp.int32),                # previous origin
+            pltpu.VMEM((2, region_rows * C, region_cols), src_feas.dtype),
+            pltpu.SMEM((2,), jnp.int32),    # current buffer, prefetch flag
             pltpu.SemaphoreType.DMA(()),
         ],
     )
