@@ -32,9 +32,10 @@ exactly zero.  Samples whose 2-tap support falls outside the *region*
 anchors each region at the projected support minimum, and ``region_fits``
 validates a camera setup up front.
 
-The backward pass reuses the XLA gather/scatter path via custom_vjp (the
-projected grid is stop_gradient in the reference, module.py:313, so
-gradients flow only through ref/src features).
+The backward pass has its own Pallas kernel (same tile/region scheme,
+run-deferred scatter of the source gradient); the projected grid is
+stop_gradient like the reference's no_grad block (module.py:313), so
+gradients flow only through ref/src features.
 """
 
 from __future__ import annotations
@@ -506,14 +507,17 @@ warp_correlate_fused.defvjp(_fwd, _bwd)
 # sampled features (region already in VMEM), accumulates
 #   d_ref[c,p] += g[p]/C * sampled[c,p]          across (view, depth)
 #   d_region[qr*C+c, qc] = sum_p U[qr*C+c,p] * WxT[qc,p]   (MXU)
-# with U = tile(refT) * wy_full * g/C, and adds d_region into the packed
-# source gradient with a synchronous read-modify-write DMA (the TPU grid
-# is sequential, so the accumulation is race-free).
+# with U = tile(refT) * wy_full * g/C.  d_region accumulates in a VMEM
+# scratch across the run of consecutive steps sharing one region origin
+# (the depth-fastest grid makes such runs long — the sweep moves origins
+# by a few aligned pixels), and is flushed into the packed source gradient
+# with ONE read-modify-write DMA per run instead of per step; the grid is
+# sequential, so the accumulation is race-free.
 # ---------------------------------------------------------------------------
 
 
 def _bwd_kernel(origins_ref, g_ref, px_ref, py_ref, ref_ref, src_ref,
-                dsrc_in, dref_out, dsrc_ref, region, dacc, prev_ref, sem,
+                dsrc_in, dref_out, dsrc_ref, region, dacc, facc, state, sem,
                 wsem, *, C, P, V, D, region_rows, region_cols):
     del dsrc_in                       # aliased to dsrc_ref (the output)
     b = pl.program_id(0)
@@ -521,25 +525,54 @@ def _bwd_kernel(origins_ref, g_ref, px_ref, py_ref, ref_ref, src_ref,
     v = pl.program_id(2)
     d = pl.program_id(3)
     T = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * T * V * D
     step = ((b * T + t) * V + v) * D + d
     packed = origins_ref[step]
     hi = packed // 65536
     ox = packed - hi * 65536
     oy = hi % 1024
     bv = b * V + v
+    QrC = region_rows * C
 
-    stale = jnp.logical_or(step == 0, packed != prev_ref[0])
+    # state: [0] = origin of the accumulation run in flight, [1] = its bv
+    stale = jnp.logical_or(step == 0, packed != state[0])
+
+    def _flush(pk, pbv):
+        """One read-modify-write of dacc into dsrc at run origin (pk, pbv)."""
+        phi = pk // 65536
+        pox = pk - phi * 65536
+        poy = phi % 1024
+        tgt = dsrc_ref.at[pbv, pl.ds(pl.multiple_of(poy * C, 8), QrC),
+                          pl.ds(pl.multiple_of(pox, ALIGN_X), region_cols)]
+        rd = pltpu.make_async_copy(tgt, facc, wsem)
+        rd.start()
+        rd.wait()
+        facc[...] = facc[...] + dacc[...]
+        wr = pltpu.make_async_copy(facc, tgt, wsem)
+        wr.start()
+        wr.wait()
+
+    def _region_copy():
+        return pltpu.make_async_copy(
+            src_ref.at[bv,
+                       pl.ds(pl.multiple_of(oy * C, 8), QrC),
+                       pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
+            region, sem)
 
     @pl.when(stale)
     def _():
-        dma = pltpu.make_async_copy(
-            src_ref.at[bv,
-                       pl.ds(pl.multiple_of(oy * C, 8), region_rows * C),
-                       pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
-            region, sem)
-        dma.start()
-        dma.wait()
-        prev_ref[0] = packed
+        _region_copy().start()      # overlaps the flush RMW below
+
+    @pl.when(jnp.logical_and(stale, step > 0))
+    def _():
+        _flush(state[0], state[1])
+
+    @pl.when(stale)
+    def _():
+        _region_copy().wait()
+        dacc[...] = jnp.zeros_like(dacc)
+        state[0] = packed
+        state[1] = bv
 
     px = px_ref[0, 0, 0, 0]                             # (1, P) f32
     py = py_ref[0, 0, 0, 0]
@@ -571,28 +604,17 @@ def _bwd_kernel(origins_ref, g_ref, px_ref, py_ref, ref_ref, src_ref,
         dref_out[0, 0] = jnp.zeros((C, P), dref_out.dtype)
     dref_out[0, 0] += (S * g).astype(dref_out.dtype)
 
-    # d_region = U @ wxT^T with U = tile(refT) * wy_full * g
+    # d_region = U @ wxT^T with U = tile(refT) * wy_full * g; accumulate in
+    # VMEM — the flush to HBM happens once per origin run, not per step
     refT_full = jnp.concatenate([refT] * region_rows, axis=0)   # (QrC, P)
     U = (refT_full * wy_full * g).astype(jnp.float32)
-    d_region = jax.lax.dot_general(
+    dacc[...] += jax.lax.dot_general(
         U, wxT, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (QrC, Qc)
 
-    # read-modify-write into the packed source gradient (sequential grid)
-    rd = pltpu.make_async_copy(
-        dsrc_ref.at[bv, pl.ds(pl.multiple_of(oy * C, 8), QrC),
-                    pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
-        dacc, sem)
-    rd.start()
-    rd.wait()
-    dacc[...] = dacc[...] + d_region
-    wr = pltpu.make_async_copy(
-        dacc,
-        dsrc_ref.at[bv, pl.ds(pl.multiple_of(oy * C, 8), QrC),
-                    pl.ds(pl.multiple_of(ox, ALIGN_X), region_cols)],
-        wsem)
-    wr.start()
-    wr.wait()
+    @pl.when(step == nsteps - 1)
+    def _():
+        _flush(packed, bv)
 
 
 def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
@@ -674,8 +696,9 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
         ],
         scratch_shapes=[
             pltpu.VMEM((region_rows * C, region_cols), src_feas.dtype),
-            pltpu.VMEM((region_rows * C, region_cols), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((region_rows * C, region_cols), jnp.float32),  # dacc
+            pltpu.VMEM((region_rows * C, region_cols), jnp.float32),  # facc
+            pltpu.SMEM((2,), jnp.int32),    # run origin, run bv
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

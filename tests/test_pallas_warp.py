@@ -124,6 +124,37 @@ def test_views_fused_matches_per_view_loop():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
+def test_gradients_match_long_depth_sweep():
+    """D=48 full sweep: origins change several times along each tile's
+    depth run, so the backward's run-deferred source-gradient flush fires
+    repeatedly (not just at the final step) — grads must still match the
+    XLA path exactly."""
+    H, W, C, D, V, B = 48, 128, 8, 48, 2, 1
+    rng = np.random.default_rng(7)
+    ref = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    srcs = jnp.asarray(rng.normal(size=(B, V, H, W, C)).astype(np.float32))
+    rots, trs = [], []
+    for v in range(V):
+        r, t = _rig(H, W, ang=0.03 * (v + 1), baseline=(20.0 * (v + 1),
+                                                        5.0 * v, 3.0))
+        rots.append(r[0])
+        trs.append(t[0])
+    rots = jnp.broadcast_to(jnp.stack(rots)[None], (B, V, 3, 3))
+    trs = jnp.broadcast_to(jnp.stack(trs)[None], (B, V, 3))
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    gx = jax.grad(lambda a, b: jnp.sum(
+        pw._views_xla(a, b, rots, trs, depth, 1) ** 2),
+        argnums=(0, 1))(ref, srcs)
+    gp = jax.grad(lambda a, b: jnp.sum(
+        pw.warp_correlate_views_fused(a, b, rots, trs, depth, 1, True)
+        ** 2), argnums=(0, 1))(ref, srcs)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
 def test_unsupported_shapes_fall_back():
     # W < 64 is below the kernel's support -> must use the XLA path exactly
     H, W, C, D = 32, 48, 8, 2
