@@ -34,6 +34,11 @@ def build_parser(profile_name="tank_eval"):
     p.add_argument("--numdepth", type=int)
     p.add_argument("--num_view", type=int)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--shard_views", action="store_true",
+                   help="multi-chip single-map mode: shard the source-view"
+                        " axis over ALL local devices (model-axis mesh) so"
+                        " every chip cooperates on one 1920x1056 map; the"
+                        " per-chip HBM for the FPN stack drops ~V/n-fold")
     p.add_argument("--skip_depth", action="store_true")
     p.add_argument("--skip_fusion", action="store_true")
     apply_profile_defaults(p, get_profile(profile_name))
@@ -53,7 +58,8 @@ def save_depths(args):
         ndepths=tuple(int(x) for x in args.ndepths.split(",")),
         gru_iters=tuple(int(x) for x in args.GRUiters.split(",")),
         CostNum=args.CostNum, compute_dtype=jnp.bfloat16)
-    engine = InferenceEngine(params, cfg)
+    engine = InferenceEngine(params, cfg,
+                             shard_views=getattr(args, "shard_views", False))
     for scene in args.scenes:
         ds = TanksDataset(args.testpath, [scene], args.num_view,
                           args.numdepth)

@@ -57,6 +57,17 @@ def build_parser(profile_name="dtu_train"):
     p.add_argument("--num_workers", type=int)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="devices on the mesh data axis (default: all)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="devices on the mesh model axis; batch shards over"
+                        " the remaining devices")
+    p.add_argument("--shard_policy", default="views,depth",
+                   help="comma list of model-axis layouts when"
+                        " --model_parallel>1: views (FPN + per-view warps"
+                        " sharded, view reduction psummed), depth"
+                        " (cost-volume hypotheses), spatial (image rows;"
+                        " measured 8x WORSE per-device HBM at the T&T shape"
+                        " — GSPMD all-gathers H-sharded convs — see"
+                        " SHARDING_TANK_r02.json; avoid)")
     apply_profile_defaults(p, get_profile(profile_name))
     return p
 
@@ -157,7 +168,23 @@ def main(argv=None):
     if opt_state is None:
         opt_state = optimizer.init(params)
 
-    if args.data_parallel:
+    policy = None
+    if args.model_parallel > 1:
+        import math
+        from effi_mvs_plus_tpu.parallel import make_mesh, ShardingPolicy
+        n = len(jax.devices())
+        mp = args.model_parallel
+        # the data axis must divide both the train and eval batch sizes
+        # (same rule as the default path below)
+        dp = args.data_parallel or math.gcd(n // mp,
+                                            math.gcd(args.batch_size,
+                                                     eval_bs))
+        mesh = make_mesh(data=dp, model=mp, devices=jax.devices()[:dp * mp])
+        kinds = {s.strip() for s in args.shard_policy.split(",")}
+        policy = ShardingPolicy(mesh, shard_depth="depth" in kinds,
+                                shard_views="views" in kinds,
+                                shard_spatial="spatial" in kinds)
+    elif args.data_parallel:
         from effi_mvs_plus_tpu.parallel import make_mesh
         mesh = make_mesh(data=args.data_parallel, model=1,
                          devices=jax.devices()[:args.data_parallel])
@@ -170,6 +197,12 @@ def main(argv=None):
         mesh = fit_data_mesh(math.gcd(args.batch_size, eval_bs))
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
+    if policy is not None:
+        # constraint hooks read the active policy at trace time; keep it
+        # active for the whole loop (first call of each jitted step traces)
+        import contextlib
+        _pol_stack = contextlib.ExitStack()
+        _pol_stack.enter_context(parallel.use_policy(policy))
 
     train_step = T.make_train_step(cfg, optimizer, args.lossrate)
     eval_step = T.make_eval_step(cfg)

@@ -36,10 +36,32 @@ def _fit_devices(batch_size):
 
 class InferenceEngine:
     def __init__(self, params, cfg: EffiMVSConfig = EffiMVSConfig(),
-                 donate=False):
+                 donate=False, shard_views=False):
+        """shard_views: on a multi-chip host, put the WHOLE device mesh on
+        the model axis and shard the source-view axis — every chip
+        cooperates on one depth map (FPN + per-view warps sharded, view
+        reduction psummed over ICI).  The T&T deployment point (batch 1,
+        11 views at 1920x1056) is the target: per-chip HBM for the
+        feature stack drops ~V/n-fold (SHARDING_TANK_r02.json)."""
         self.params = params
         self.cfg = cfg
         self._fn = jax.jit(self._run)
+        self._policy = None
+        if shard_views and jax.device_count() > 1:
+            from effi_mvs_plus_tpu.parallel import ShardingPolicy, make_mesh
+            mesh = make_mesh(data=1, model=jax.device_count())
+            self._policy = ShardingPolicy(mesh, shard_depth=False,
+                                          shard_views=True)
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec())), params)
+
+    def _with_policy(self, *args):
+        if self._policy is None:
+            return self._fn(*args)
+        from effi_mvs_plus_tpu.parallel import use_policy
+        with use_policy(self._policy):   # applied at trace time
+            return self._fn(*args)
 
     def _run(self, imgs, proj_matrices, depth_values):
         out = forward(self.params, imgs, proj_matrices, depth_values,
@@ -55,7 +77,14 @@ class InferenceEngine:
         projs = {k: v for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3")}
         B = batch["imgs"].shape[0]
-        if _fit_devices(B) > 1:
+        if self._policy is not None:
+            from effi_mvs_plus_tpu.parallel import shard_batch
+            put = shard_batch({"imgs": batch["imgs"], "projs": projs,
+                               "dv": batch["depth_values"]},
+                              self._policy.mesh)   # data axis is 1
+            depth, conf = self._with_policy(put["imgs"], put["projs"],
+                                            put["dv"])
+        elif _fit_devices(B) > 1:
             from effi_mvs_plus_tpu.parallel import fit_data_mesh, shard_batch
             mesh = fit_data_mesh(B)
             put = shard_batch({"imgs": batch["imgs"], "projs": projs,

@@ -126,11 +126,18 @@ def forward(params, imgs, proj_matrices, depth_values,
 
     # ---- feature extraction: all views through the FPN in one batch ----
     # (per-view BN statistics via stat_groups — the reference loops views,
-    # Effi_MVS_plus.py:432-434, so its train-mode BN stats are per view)
+    # Effi_MVS_plus.py:432-434, so its train-mode BN stats are per view).
+    # The view-flattened input and outputs are anchored with the policy's
+    # view_batch spec: under a view-sharding policy GSPMD then shards the
+    # whole per-view conv chain over the model axis — at the T&T
+    # deployment point these activations are the single largest HBM cost
+    # of the forward (buffer-assignment audit in SHARDING_TANK_r02.json).
     with scope(ctx, "feature"), nn.stat_groups(ctx, V):
-        feats = blocks.feature_net(imgs.reshape(B * V, H, W, 3),
-                                   params["feature"], ctx)
-    feats = {k: v.reshape(B, V, *v.shape[1:]) for k, v in feats.items()}
+        feats = blocks.feature_net(
+            par.constrain_view_batch(imgs.reshape(B * V, H, W, 3)),
+            params["feature"], ctx)
+    feats = {k: par.constrain_view_batch(v).reshape(B, V, *v.shape[1:])
+             for k, v in feats.items()}
 
     with scope(ctx, "cnet_depth"):
         cnet = blocks.feature_net(imgs[:, 0], params["cnet_depth"], ctx)
@@ -178,7 +185,8 @@ def forward(params, imgs, proj_matrices, depth_values,
             entropy = -jnp.sum(pnorm * jnp.log(pnorm + 1e-7), axis=2)
             with scope(ctx, "PixelwiseNet"), nn.stat_groups(ctx, V - 1):
                 vw = blocks.pixelwise_net(
-                    entropy.reshape(B * (V - 1), h, w, 1),
+                    par.constrain_view_batch(
+                        entropy.reshape(B * (V - 1), h, w, 1)),
                     params["PixelwiseNet"], ctx)        # (B(V-1),h,w,1)
             vw = vw.reshape(B, V - 1, h, w)
             view_weights = vw                           # (B,V-1,h,w)

@@ -67,10 +67,19 @@ class ShardingPolicy:
     """Holds the mesh and the PartitionSpecs the model hooks apply."""
 
     def __init__(self, mesh: Mesh, shard_depth: bool = True,
-                 shard_spatial: bool = False):
+                 shard_spatial: bool = False, shard_views: bool = False):
         self.mesh = mesh
-        self.shard_depth = shard_depth and mesh.shape.get("model", 1) > 1
-        self.shard_spatial = shard_spatial and mesh.shape.get("model", 1) > 1
+        model = mesh.shape.get("model", 1) > 1
+        self.shard_depth = shard_depth and model
+        self.shard_spatial = shard_spatial and model
+        # view-axis sharding (SURVEY §5.7): the FPN runs per view
+        # independently — its activation stack (V, H, W, C) at full
+        # resolution is the LARGEST temporary of the whole forward at the
+        # T&T deployment point (buffer-assignment audit: ~3.3 GB of the
+        # 3.8 GB fp32 total) — and the per-view weighted correlation
+        # accumulation is associative, so sharding V over 'model' turns
+        # the sim_sum reductions into a psum over ICI.
+        self.shard_views = shard_views and model
 
     def _constrain(self, x, spec):
         return jax.lax.with_sharding_constraint(
@@ -95,7 +104,10 @@ class ShardingPolicy:
     def spatial(self, x):
         """Feature-layout tensors — batch over data, image rows over
         model.  Rank 4 (B, H, W, C) and rank 5 (B, V, H, W, C) both
-        shard the H axis (always ndim-3)."""
+        shard the H axis (always ndim-3); under a view policy, rank-5
+        tensors shard the V axis instead."""
+        if self.shard_views and x.ndim == 5:
+            return self._constrain(x, P("data", "model"))
         if not self.shard_spatial:
             return self._constrain(x, P("data"))
         spec = [None] * x.ndim
@@ -103,11 +115,30 @@ class ShardingPolicy:
         spec[x.ndim - 3] = "model"
         return self._constrain(x, P(*spec))
 
+    def view_batch(self, x):
+        """(B·V, H, W, C) view-flattened feature-extractor activations —
+        B is the outer factor of the flat axis, so sharding it over the
+        ('data', 'model') tuple puts batch on data and views on model.
+        Anchoring the FPN's input AND outputs with this spec makes GSPMD
+        shard the whole per-view conv chain (the T&T HBM hot spot)."""
+        if self.shard_views:
+            return self._constrain(x, P(("data", "model")))
+        if self.shard_spatial:
+            spec = [None] * x.ndim
+            spec[0] = "data"
+            spec[x.ndim - 3] = "model"
+            return self._constrain(x, P(*spec))
+        return self._constrain(x, P("data")) if self.mesh.shape.get(
+            "data", 1) > 1 else x
+
     def views_volume(self, x):
         """(B, V, D, H, W) per-view correlation stack — the largest warp
-        temporary.  Depth policy shards D (axis 2); spatial policy shards
-        rows (axis 3); GSPMD propagates the constraint back into the
-        per-view gathers."""
+        temporary.  View policy shards V (axis 1; the weighted view
+        reduction right after becomes a psum); depth policy shards D
+        (axis 2); spatial policy shards rows (axis 3); GSPMD propagates
+        the constraint back into the per-view gathers."""
+        if self.shard_views:
+            return self._constrain(x, P("data", "model", None, None, None))
         if self.shard_depth:
             return self._constrain(x, P("data", None, "model", None, None))
         if self.shard_spatial:
@@ -150,3 +181,8 @@ def constrain_spatial(x):
 def constrain_views_volume(x):
     pol = _active()
     return pol.views_volume(x) if pol is not None else x
+
+
+def constrain_view_batch(x):
+    pol = _active()
+    return pol.view_batch(x) if pol is not None else x

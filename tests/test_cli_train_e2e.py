@@ -94,3 +94,33 @@ def test_train_cli_end_to_end(tmp_path):
     # resume path: epoch 1 continues from the saved checkpoint
     cli.main(argv + ["--resume", "--epochs", "2"])
     assert os.path.exists(os.path.join(logdir, "model_000001.ckpt"))
+
+
+@pytest.mark.slow
+def test_train_cli_model_parallel(tmp_path):
+    """--model_parallel 2 with the default views,depth policy: the driver
+    builds a (data=4, model=2) mesh over the 8 virtual devices and trains
+    with view+depth sharding active — losses must stay finite."""
+    from effi_mvs_plus_tpu.data.datasets import DTUTrainDataset
+    from effi_mvs_plus_tpu.data.registry import register_dataset
+    from effi_mvs_plus_tpu.cli import train as cli
+
+    register_dataset(
+        "dtu_tiny_mp",
+        functools.partial(DTUTrainDataset, crop_wh=(160, 128)))
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    listfile = _build_tiny_dtu_tree(root)
+    logdir = str(tmp_path / "run")
+
+    cli.main(["--mode", "train", "--dataset", "dtu_tiny_mp",
+              "--trainpath", root, "--trainlist", listfile,
+              "--testlist", listfile, "--logdir", logdir,
+              "--epochs", "1", "--batch_size", "4", "--trainviews", "3",
+              "--testviews", "3", "--num_workers", "2",
+              "--summary_freq", "1", "--model_parallel", "2"])
+    rows = [json.loads(ln)
+            for ln in open(os.path.join(logdir, "metrics.jsonl"))]
+    losses = [r["train/loss"] for r in rows if "train/loss" in r]
+    assert losses and all(np.isfinite(losses))
