@@ -157,8 +157,24 @@ def main(argv=None):
             for t in tasks:
                 fuse_scan(t)
         else:
-            with mp.get_context("spawn").Pool(args.num_worker) as pool:
-                pool.map(fuse_scan, tasks)
+            # pooled fusion workers must NOT attach to the TPU: the axon
+            # relay serializes clients, so a second device process stalls
+            # every fence (one-TPU-process rule); the vectorised ladder
+            # runs fine on host CPU.  Spawned children read these at
+            # interpreter start, the parent's live jax is unaffected.
+            saved = {k: os.environ.get(k)
+                     for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+            try:
+                with mp.get_context("spawn").Pool(args.num_worker) as pool:
+                    pool.map(fuse_scan, tasks)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
 
 
 if __name__ == "__main__":

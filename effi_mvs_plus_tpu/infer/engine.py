@@ -69,11 +69,10 @@ class InferenceEngine:
         return (out["depth"][-1].astype(jnp.float32),
                 out["photometric_confidence"].astype(jnp.float32))
 
-    def infer_batch(self, batch):
-        """batch: dict with imgs (B,V,H,W,3), proj_matrices stage dicts,
-        depth_values (B,Nd).  Returns (depth (B,H,W), conf (B,H/2,W/2))
-        as numpy.  On a multi-chip host the batch of reference views is
-        sharded over the devices' data axis (divisibility permitting)."""
+    def _infer_device(self, batch):
+        """Dispatch the forward for one batch; returns DEVICE arrays
+        (depth, conf) without forcing a host sync — JAX dispatch is
+        async, so the caller can overlap host work with chip compute."""
         projs = {k: v for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3")}
         B = batch["imgs"].shape[0]
@@ -82,62 +81,113 @@ class InferenceEngine:
             put = shard_batch({"imgs": batch["imgs"], "projs": projs,
                                "dv": batch["depth_values"]},
                               self._policy.mesh)   # data axis is 1
-            depth, conf = self._with_policy(put["imgs"], put["projs"],
-                                            put["dv"])
-        elif _fit_devices(B) > 1:
+            return self._with_policy(put["imgs"], put["projs"], put["dv"])
+        if _fit_devices(B) > 1:
             from effi_mvs_plus_tpu.parallel import fit_data_mesh, shard_batch
             mesh = fit_data_mesh(B)
             put = shard_batch({"imgs": batch["imgs"], "projs": projs,
                                "dv": batch["depth_values"]}, mesh)
-            depth, conf = self._fn(put["imgs"], put["projs"], put["dv"])
-        else:
-            projs = {k: jnp.asarray(v) for k, v in projs.items()}
-            depth, conf = self._fn(jnp.asarray(batch["imgs"]), projs,
-                                   jnp.asarray(batch["depth_values"]))
+            return self._fn(put["imgs"], put["projs"], put["dv"])
+        projs = {k: jnp.asarray(v) for k, v in projs.items()}
+        return self._fn(jnp.asarray(batch["imgs"]), projs,
+                        jnp.asarray(batch["depth_values"]))
+
+    def infer_batch(self, batch):
+        """batch: dict with imgs (B,V,H,W,3), proj_matrices stage dicts,
+        depth_values (B,Nd).  Returns (depth (B,H,W), conf (B,H/2,W/2))
+        as numpy.  On a multi-chip host the batch of reference views is
+        sharded over the devices' data axis (divisibility permitting)."""
+        depth, conf = self._infer_device(batch)
         return np.asarray(depth), np.asarray(conf)
+
+    @staticmethod
+    def _write_batch(outdir, batch, depth, conf):
+        """Host side of one batch: sync the device handles and write
+        depth_est/ confidence/ cams/ images/ per the reference layout
+        (test_dtu_dypcd.py:454-478)."""
+        depth = np.asarray(depth)                  # device sync happens here
+        conf = np.asarray(conf)
+        for b in range(depth.shape[0]):
+            template = batch["filename"][b]
+            depth_path = os.path.join(
+                outdir, template.format("depth_est", ".pfm"))
+            conf_path = os.path.join(
+                outdir, template.format("confidence", ".pfm"))
+            cam_path = os.path.join(
+                outdir, template.format("cams", "_cam.txt"))
+            img_path = os.path.join(
+                outdir, template.format("images", ".jpg"))
+            for p in (depth_path, conf_path, cam_path, img_path):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+            save_pfm(depth_path, depth[b])
+            save_pfm(conf_path, conf[b])
+            # full-resolution (stage4) cams for fusion
+            proj = np.asarray(batch["proj_matrices"]["stage4"][b, 0])
+            dv = np.asarray(batch["depth_values"][b])
+            depth_min = 1.0 / float(dv.max())   # dv = ascending inverse depths
+            depth_max = 1.0 / float(dv.min())
+            camio.write_cam_file(
+                cam_path, proj[0], proj[1][:3, :3],
+                [depth_min, (depth_max - depth_min) / len(dv),
+                 float(len(dv)), depth_max])
+            img = (np.asarray(batch["imgs"][b, 0]) * 255).astype(np.uint8)
+            try:
+                from PIL import Image
+                Image.fromarray(img).save(img_path)
+            except Exception:
+                pass
+        return depth.shape[0]
 
     def save_scene_depths(self, loader, outdir, verbose=True):
         """Run a whole eval loader, writing depth_est/ confidence/ cams/
-        images/ per the reference output layout.  Returns timing stats."""
-        times = []
-        n_maps = 0
-        for batch in loader:
-            t0 = time.perf_counter()
-            depth, conf = self.infer_batch(batch)   # host numpy => synced
-            dt = time.perf_counter() - t0
-            times.append(dt)
-            B = depth.shape[0]
-            n_maps += B
-            for b in range(B):
-                template = batch["filename"][b]
-                depth_path = os.path.join(
-                    outdir, template.format("depth_est", ".pfm"))
-                conf_path = os.path.join(
-                    outdir, template.format("confidence", ".pfm"))
-                cam_path = os.path.join(
-                    outdir, template.format("cams", "_cam.txt"))
-                img_path = os.path.join(
-                    outdir, template.format("images", ".jpg"))
-                for p in (depth_path, conf_path, cam_path, img_path):
-                    os.makedirs(os.path.dirname(p), exist_ok=True)
-                save_pfm(depth_path, depth[b])
-                save_pfm(conf_path, conf[b])
-                # full-resolution (stage4) cams for fusion
-                proj = np.asarray(batch["proj_matrices"]["stage4"][b, 0])
-                dv = np.asarray(batch["depth_values"][b])
-                depth_min = 1.0 / float(dv.max())   # dv = ascending inverse depths
-                depth_max = 1.0 / float(dv.min())
-                camio.write_cam_file(
-                    cam_path, proj[0], proj[1][:3, :3],
-                    [depth_min, (depth_max - depth_min) / len(dv),
-                     float(len(dv)), depth_max])
-                img = (np.asarray(batch["imgs"][b, 0]) * 255).astype(np.uint8)
+        images/ per the reference output layout.  Returns timing stats.
+
+        Software-pipelined: the forward for batch N+1 is dispatched (JAX
+        async dispatch) while a writer thread syncs batch N's outputs and
+        writes its files — chip compute and host PFM/JPG encoding
+        overlap instead of alternating.  The queue bound caps in-flight
+        device output buffers (depth+conf per batch is MB-scale)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        state = {"maps": 0, "err": None}
+
+        def writer():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
                 try:
-                    from PIL import Image
-                    Image.fromarray(img).save(img_path)
-                except Exception:
-                    pass
-            if verbose:
-                print(f"inferred {n_maps} maps, {dt / B:.3f}s/map")
-        return {"maps": n_maps, "total_s": sum(times),
-                "s_per_map": sum(times) / max(n_maps, 1)}
+                    wrote = self._write_batch(outdir, *item)
+                    state["maps"] += wrote
+                    if verbose:
+                        print(f"inferred {state['maps']} maps", flush=True)
+                except Exception as e:          # surface on join
+                    state["err"] = e
+                    return
+
+        def put(item):
+            """Bounded put that can't deadlock if the writer died."""
+            while state["err"] is None:
+                try:
+                    q.put(item, timeout=1.0)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=writer, daemon=True)
+        th.start()
+        for batch in loader:
+            depth, conf = self._infer_device(batch)
+            if not put((batch, depth, conf)):
+                break
+        put(None)
+        th.join()
+        if state["err"] is not None:
+            raise state["err"]
+        total = time.perf_counter() - t0
+        return {"maps": state["maps"], "total_s": total,
+                "s_per_map": total / max(state["maps"], 1)}

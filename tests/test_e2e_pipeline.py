@@ -45,3 +45,17 @@ def test_full_pipeline_on_synthetic_plane(tmp_path):
     # median sits ~15mm below the plane; exact numerics are pinned by the
     # parity tests (test_ops_parity / test_model_golden / test_fusion).
     assert abs(float(np.median(xyz[:, 2])) - 600.0) < 25.0
+
+    # pooled-fusion branch: spawn workers (pinned to CPU jax via env set
+    # in the parent) re-fuse the saved maps and must reproduce the cloud
+    serial = xyz
+    os.remove(os.path.join(out, "mvsnet001_l3.ply"))
+    test_dtu.main([
+        "--testpath", root, "--testlist", listfile, "--loadckpt", CKPT,
+        "--outdir", out, "--num_view", "4", "--max_h", "64", "--max_w", "96",
+        "--num_worker", "2", "--conf", "0.01", "--diff_base", "40.0",
+        "--dist_base", "4.0", "--skip_depth",
+    ])
+    xyz2, _ = read_ply(os.path.join(out, "mvsnet001_l3.ply"))
+    assert xyz2.shape == serial.shape
+    np.testing.assert_allclose(xyz2, serial, atol=1e-4)
