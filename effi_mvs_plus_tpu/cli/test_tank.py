@@ -85,6 +85,11 @@ def fuse_scene_tank(args, scene):
     out_folder = os.path.join(args.outdir, scene)
     params = TANK_FILTER_CONFIGS.get(scene)
 
+    # each view is read ~10x per scene (once per ref using it as source);
+    # cache decoded views, bounded so a 1920x1056 scene stays ~400 MB
+    import functools
+
+    @functools.lru_cache(maxsize=48)
     def load_view(vid):
         cam = read_cam_file(
             os.path.join(out_folder, "cams", f"{vid:08d}_cam.txt"))
