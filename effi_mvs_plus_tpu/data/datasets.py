@@ -377,11 +377,15 @@ class TanksDataset:
         depth_values = None
         for i, vid in enumerate(view_ids):
             img = _imread(os.path.join(base, f"images/{vid:08d}.jpg"))
+            # the reference reads cams_1/ for the intermediate/advanced
+            # splits (tank.py:135, the long-range camera set of the
+            # standard preprocessed T&T); fall back to per-scene and
+            # plain cams/ layouts
+            cam_dir = next(
+                (d for d in ("cams_1", f"cams_{scan.lower()}", "cams")
+                 if os.path.exists(os.path.join(base, d))), "cams")
             cam = camio.read_cam_file(
-                os.path.join(base, f"cams_{scan.lower()}/{vid:08d}_cam.txt")
-                if os.path.exists(os.path.join(
-                    base, f"cams_{scan.lower()}"))
-                else os.path.join(base, f"cams/{vid:08d}_cam.txt"))
+                os.path.join(base, cam_dir, f"{vid:08d}_cam.txt"))
             h, w = img.shape[:2]
             intr = cam["intrinsics"].copy()
             intr[0, :] *= tw / w
@@ -393,12 +397,13 @@ class TanksDataset:
             projs.append(camio.stage_proj_matrices(cam["extrinsics"], intr_q))
             imgs.append(img)
             if i == 0:
+                # reference tank.py:88-94: a 4-field line 11 is
+                # [min, interval, num, max] -> max from field 3; a SHORT
+                # line is [min, max] -> field 1 IS depth_max (not an
+                # interval)
                 fields = cam["depth_fields"]
                 depth_min = fields[0]
-                if len(fields) >= 4:
-                    depth_max = fields[3]
-                else:
-                    depth_max = depth_min + fields[1] * self.ndepths
+                depth_max = fields[3] if len(fields) >= 4 else fields[1]
                 lo, hi = 1.0 / depth_max, 1.0 / depth_min
                 if self.disp_max_first:
                     depth_values = np.linspace(hi, lo, self.ndepths,
