@@ -279,7 +279,11 @@ class BlendedMVSDataset:
 
     def __getitem__(self, idx):
         scan, ref, srcs = self.metas[idx]
-        if self.mode == "train":
+        # the reference's random.sample branch requires mode=="finetune",
+        # which its driver never passes (train.py:490 hardcodes "train")
+        # — deployed blend training uses the FIRST nviews-1 sources
+        # deterministically (blend.py:143-147)
+        if self.mode == "finetune":
             src_ids = self.rng.sample(srcs, self.nviews - 1)
         else:
             src_ids = srcs[:self.nviews - 1]
