@@ -87,3 +87,46 @@ def test_forward_matches_reference_checkpoint():
     assert conf.shape == ref_conf.shape
     assert np.abs(conf - ref_conf).max() < 5e-3
     print(f"worst depth abs diff across 13 predictions: {worst:.5f} mm")
+
+
+@pytest.mark.slow
+def test_forward_matches_reference_tank_checkpoint():
+    """Same oracle with model_tank.ckpt at the T&T config (ndepths
+    96,8,8) — pins the deployed leaderboard path's weight import and
+    config plumbing, not just the DTU one."""
+    import torch
+    import argparse
+    ref = load_reference_models()
+
+    imgs, proj_ms, depth_values = make_inputs(seed=1)
+
+    args = argparse.Namespace(ndepths="96,8,8", GRUiters="3,3,3", CostNum=3)
+    tmodel = ref.Effi_MVS_plus_cls(args)
+    ckpt = "/root/reference/checkpoints/Effi_MVS_plus/model_tank.ckpt"
+    sd = torch.load(ckpt, map_location="cpu", weights_only=False)["model"]
+    tmodel.load_state_dict(sd)
+    tmodel.eval()
+
+    timgs = torch.from_numpy(imgs.transpose(0, 1, 4, 2, 3))
+    tprojs = {k: torch.from_numpy(v) for k, v in proj_ms.items()}
+    with torch.no_grad():
+        ref_out = tmodel(timgs, tprojs, torch.from_numpy(depth_values))
+    ref_depths = [d.numpy() for d in ref_out["depth"]]
+
+    from effi_mvs_plus_tpu.io import load_torch_checkpoint
+    from effi_mvs_plus_tpu.models import forward, EffiMVSConfig
+    params = load_torch_checkpoint(ckpt)
+    cfg = EffiMVSConfig(ndepths=(96, 8, 8))
+    out = jax.jit(
+        lambda p, i, pr, dv: forward(p, i, pr, dv, cfg)
+    )(params, jnp.asarray(imgs),
+      {k: jnp.asarray(v) for k, v in proj_ms.items()},
+      jnp.asarray(depth_values))
+
+    assert len(out["depth"]) == 13 == len(ref_depths)
+    for i, (got, want) in enumerate(zip(out["depth"], ref_depths)):
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        scale = want.max() - want.min() + 1e-6
+        assert np.abs(got - want).max() < 0.005 * scale + 0.5, \
+            f"pred {i}: max abs diff {np.abs(got - want).max():.4f}"
