@@ -1,7 +1,12 @@
 """A/B the inference batch size at the DTU eval shape (1152x864, 5 views).
 
-One TPU process sweeps B in {2,4,6,8}; prints maps/s per B incrementally
+One TPU process sweeps the batch sizes; prints maps/s per B incrementally
 (relay compiles are slow — run under nohup/timeout per the repo notes).
+
+Measured (v5e): r1 kernel {4: 12.1, 6: 14.1, 8: 12.7}; r2 double-buffered
+depth-chunked kernel {6: 16.25, 8: 12.78, 10: 12.47, 12: 13.52} — B=6
+stays the sweet spot (HBM pressure past B=6 outweighs the extra
+amortization; B=12 recovers a little but never catches up).
 """
 
 import sys
@@ -60,7 +65,7 @@ def main():
         return float(jax.device_get(jnp.ravel(x)[0]))
 
     fence(jnp.zeros((1, 1)))
-    for B in (8, 6, 2):
+    for B in (6, 8, 10, 12):
         try:
             args = make_args(B, jnp, camio)
             for _ in range(WARMUP):
