@@ -16,11 +16,16 @@ import numpy as np
 
 BASELINE_MAPS_PER_S = 6.9   # pinned reference GPU throughput (BASELINE.md)
 
+# Last value committed to BASELINE.md for THIS metric; a measurement below
+# half of it is flagged loudly in the JSON so a kernel regression can never
+# land silently again (VERDICT r2 weak #1/#8).
+LAST_COMMITTED_MAPS_PER_S = 16.28
+
 H, W, V, B = 864, 1152, 5, 6   # B swept in scripts/bench_batch_sweep.py:
                                # {4: 12.1, 6: 14.1, 8: 12.7 maps/s} —
                                # B=6 is the sweet spot (all B healthy,
                                # scripts/tpu_batch_health.py)
-WARMUP, ITERS = 2, 8
+WARMUP, ITERS, REPEATS = 2, 8, 3
 
 
 def main():
@@ -85,19 +90,27 @@ def main():
     fence(jnp.zeros((1, 1, 1)))      # tunnel warm-up (first op ~100 s)
     for _ in range(WARMUP):
         fence(run(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(ITERS):
-        out = run(*args)
-    fence(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    maps_per_s = B / dt
+    rates = []
+    for _ in range(REPEATS):         # per-repeat spread (VERDICT r2 #8)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = run(*args)
+        fence(out)
+        dt = (time.perf_counter() - t0) / ITERS
+        rates.append(B / dt)
+    rates.sort()
+    maps_per_s = rates[len(rates) // 2]          # median repeat
 
     print(json.dumps({
         "metric": "depth_maps_per_sec_per_chip_1152x864_5views",
         "value": round(maps_per_s, 4),
         "unit": "depth-maps/s",
         "vs_baseline": round(maps_per_s / BASELINE_MAPS_PER_S, 2),
+        "spread": {"min": round(rates[0], 4), "max": round(rates[-1], 4),
+                   "repeats": REPEATS, "iters_per_repeat": ITERS},
+        "regressed_vs_committed": bool(
+            maps_per_s < 0.5 * LAST_COMMITTED_MAPS_PER_S),
     }))
 
 

@@ -33,11 +33,14 @@ def build_parser():
     p.add_argument("--max_dist", type=float, default=20.0)
     p.add_argument("--num_worker", type=int, default=4)
     p.add_argument("--out", default=None, help="optional JSON result path")
+    p.add_argument("--dump_obj", default=None, metavar="DIR",
+                   help="write BaseEval2Obj_web.m-style error-coloured "
+                        "OBJs per scan into DIR")
     return p
 
 
 def eval_one(task):
-    scan_id, plydir, gtpath, dst, max_dist = task
+    scan_id, plydir, gtpath, dst, max_dist, dump_obj = task
     import numpy as np
     from effi_mvs_plus_tpu.eval import dtu as E
     from effi_mvs_plus_tpu.fuse.ply import read_ply
@@ -53,7 +56,14 @@ def eval_one(task):
     r = E.evaluate_scan(np.asarray(method, np.float64),
                         np.asarray(stl, np.float64),
                         obs_mask, bb, res, plane, dst=dst,
-                        max_dist=max_dist)
+                        max_dist=max_dist,
+                        return_artifacts=dump_obj is not None)
+    if dump_obj is not None:
+        E.export_error_obj(r, "mvsnet", scan_id, dump_obj)
+        # artifacts are large per-point arrays — drop them before the
+        # result rides the multiprocessing pipe back to the parent
+        r.q_data = r.d_data = r.data_in_mask = None
+        r.q_stl = r.d_stl = r.stl_above_plane = None
     print(f"scan{scan_id}: acc {r.acc_mean:.4f} comp {r.comp_mean:.4f}",
           flush=True)
     return scan_id, r
@@ -66,8 +76,8 @@ def main(argv=None):
     with open(args.testlist) as f:
         scans = [ln.strip() for ln in f if ln.strip()]
     ids = [int(s[4:]) if s.startswith("scan") else int(s) for s in scans]
-    tasks = [(i, args.plydir, args.gtpath, args.dst, args.max_dist)
-             for i in ids]
+    tasks = [(i, args.plydir, args.gtpath, args.dst, args.max_dist,
+              args.dump_obj) for i in ids]
     if args.num_worker <= 1:
         results = [eval_one(t) for t in tasks]
     else:

@@ -123,16 +123,28 @@ class ScanResult:
     comp_median: float
     n_data: int
     n_stl: int
+    # per-point artifacts (BaseEval struct fields the MATLAB helpers
+    # consume, BaseEvalMain_web.m / BaseEval2Obj_web.m) — populated only
+    # when evaluate_scan(..., return_artifacts=True)
+    q_data: np.ndarray | None = None      # (N,3) reduced method cloud
+    d_data: np.ndarray | None = None      # (N,) accuracy distances
+    data_in_mask: np.ndarray | None = None  # (N,) bool ObsMask membership
+    q_stl: np.ndarray | None = None       # (M,3) STL ground truth
+    d_stl: np.ndarray | None = None       # (M,) completeness distances
+    stl_above_plane: np.ndarray | None = None  # (M,) bool
 
 
 def evaluate_scan(method_pts, stl_pts, obs_mask, bb, res, ground_plane,
-                  dst=0.2, max_dist=20.0, seed=0, prereduced=False):
+                  dst=0.2, max_dist=20.0, seed=0, prereduced=False,
+                  return_artifacts=False):
     """Evaluate one scan.
 
     method_pts: (N,3) fused cloud; stl_pts: (M,3) structured-light GT
     (already 0.2mm-reduced, as shipped); obs_mask: 3-D bool voxel grid;
     bb: (2,3) bounding box [min;max]; res: voxel size; ground_plane: (4,)
     plane coefficients (P'*[x;1] > 0 means 'used').
+    return_artifacts: keep the per-point distance/mask arrays on the
+    result (the BaseEval struct fields) for OBJ export / inspection.
     """
     if not prereduced:
         method_pts = method_pts[reduce_pts(method_pts, dst, seed)]
@@ -157,12 +169,55 @@ def evaluate_scan(method_pts, stl_pts, obs_mask, bb, res, ground_plane,
     fs = d_stl[above]
     fs = fs[fs < max_dist]
 
-    return ScanResult(
+    result = ScanResult(
         acc_mean=float(fd.mean()) if len(fd) else float("nan"),
         comp_mean=float(fs.mean()) if len(fs) else float("nan"),
         acc_median=float(np.median(fd)) if len(fd) else float("nan"),
         comp_median=float(np.median(fs)) if len(fs) else float("nan"),
         n_data=len(fd), n_stl=len(fs))
+    if return_artifacts:
+        result.q_data = method_pts
+        result.d_data = d_data
+        result.data_in_mask = data_in_mask
+        result.q_stl = stl_pts
+        result.d_stl = d_stl
+        result.stl_above_plane = above
+    return result
+
+
+def export_error_obj(result, method_string, scan_id, outdir,
+                     dist_threshold=10.0):
+    """Error-coloured OBJ export — the Python replacement for
+    BaseEval2Obj_web.m: in-analysis points colour red→white over
+    0..dist_threshold mm error; excluded points (outside ObsMask / below
+    the ground plane) colour green→blue.  Writes
+    <method>2Stl_<scan>.obj (accuracy) and Stl2<method>_<scan>.obj
+    (completeness); returns the two paths.
+
+    result: a ScanResult from evaluate_scan(..., return_artifacts=True).
+    """
+    import os
+    if result.q_data is None:
+        raise ValueError("evaluate_scan must be called with "
+                         "return_artifacts=True to export OBJs")
+    os.makedirs(outdir, exist_ok=True)
+
+    def write(path, pts, dists, included):
+        alpha = np.minimum(dists, dist_threshold) / dist_threshold
+        # included: red*(a) + white*(1-a); excluded: green*(a) + blue*(1-a)
+        cols = np.where(
+            included[:, None],
+            np.stack([np.ones_like(alpha), 1 - alpha, 1 - alpha], 1),
+            np.stack([np.zeros_like(alpha), alpha, 1 - alpha], 1))
+        with open(path, "w") as f:
+            for (x, y, z), (r, g, b) in zip(pts, cols):
+                f.write(f"v {x:f} {y:f} {z:f} {r:f} {g:f} {b:f}\n")
+
+    acc_path = os.path.join(outdir, f"{method_string}2Stl_{scan_id}.obj")
+    comp_path = os.path.join(outdir, f"Stl2{method_string}_{scan_id}.obj")
+    write(acc_path, result.q_data, result.d_data, result.data_in_mask)
+    write(comp_path, result.q_stl, result.d_stl, result.stl_above_plane)
+    return acc_path, comp_path
 
 
 def aggregate(results):

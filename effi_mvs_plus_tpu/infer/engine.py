@@ -130,12 +130,21 @@ class InferenceEngine:
                 cam_path, proj[0], proj[1][:3, :3],
                 [depth_min, (depth_max - depth_min) / len(dv),
                  float(len(dv)), depth_max])
+            # reference-image write: the T&T fusion second pass re-reads
+            # this directory (reference test_tank.py:318-387), so a failed
+            # write must be LOUD, not swallowed.  Only a missing PIL is
+            # tolerable (preview-quality dependency, absent in some
+            # sandboxes) — and even that is logged once.
             img = (np.asarray(batch["imgs"][b, 0]) * 255).astype(np.uint8)
             try:
                 from PIL import Image
+            except ImportError:
+                if not getattr(InferenceEngine, "_warned_no_pil", False):
+                    InferenceEngine._warned_no_pil = True
+                    print("WARNING: PIL unavailable — skipping images/ "
+                          "writes (T&T fusion re-reads them)", flush=True)
+            else:
                 Image.fromarray(img).save(img_path)
-            except Exception:
-                pass
         return depth.shape[0]
 
     def save_scene_depths(self, loader, outdir, verbose=True):

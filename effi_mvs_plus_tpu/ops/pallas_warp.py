@@ -96,17 +96,6 @@ def _align_down(v, m):
     return (v // m) * m
 
 
-def _auto_region_rows(D):
-    """Region height, adaptive in the depth-band width.  The refined
-    stages (D<=8) sweep a narrow band around the current estimate, so
-    their vertical support span is small — a 16-row region puts QrC on
-    the 128-sublane MXU tile at C=8 (vs 192 = 1.5 tiles at 24 rows) and
-    shortens the row-combine, and the traced ``support_fits`` dispatch
-    (which uses the SAME choice) guarantees the exact XLA path whenever
-    the smaller vertical margin does not cover the true support."""
-    return 16 if D <= 8 else REGION_ROWS
-
-
 def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024):
     """Depth planes fused per kernel step.  Larger chunks amortize the
     per-step fixed cost (grid step, origin check, out/px/py block DMAs) —
@@ -228,8 +217,7 @@ def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
         depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS)
     return _support_fits_traced(
         px, py, H, W, H, Wa, C,
-        region_rows=min(_auto_region_rows(D), H),
-        region_cols=min(REGION_COLS, Wa),
+        region_rows=min(REGION_ROWS, H), region_cols=min(REGION_COLS, Wa),
         depth_chunk=depth_chunk)
 
 
@@ -250,27 +238,18 @@ def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
 
 
 def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
-            region, state, sem, *, C, P, region_rows, region_cols,
-            group, grouped_ref):
-    """One grid invocation runs `group` statically-unrolled rounds.
-
-    The round loop exists to amortize the thin per-step block DMAs: a
-    (1, P) px/py/out block costs about as much to move as a (G, P) one
-    (sublane-padded 8x, DMA issue latency dominates), and profiling showed
-    ~9-11 us/step of fixed cost at every stage — comparable to the MXU
-    work itself.  Grouping G rounds behind one (G, P) block fetch cuts
-    that fixed cost ~G-fold; the region double-buffer state machine is
-    per-round and unchanged (origins are globally scalar-prefetched).
-
-    grouped_ref: ref blocks are (G, C, P) with one C-row band per round
-    (the Dc=1 stages, where consecutive rounds are different tiles);
-    otherwise all rounds share one (C, P) ref tile (Dc % G == 0).
-    """
-    bv = pl.program_id(0)
-    sg = pl.program_id(1)
-    Sg = pl.num_programs(1)
-    nsteps = pl.num_programs(0) * Sg * group
-    Sbv = Sg * group                       # rounds per (batch, view)
+            region, state, sem, *, C, P, region_rows, region_cols):
+    v = pl.program_id(0)
+    t = pl.program_id(1)
+    d = pl.program_id(2)
+    T = pl.num_programs(1)
+    Dc = pl.num_programs(2)
+    nsteps = pl.num_programs(0) * T * Dc
+    step = (v * T + t) * Dc + d
+    packed = origins_ref[step]
+    hi = packed // 65536
+    ox = packed - hi * 65536
+    oy = hi % 1024
 
     def _copy(view, pk, buf):
         phi = pk // 65536
@@ -282,70 +261,60 @@ def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
                        pl.ds(pl.multiple_of(pox, ALIGN_X), region_cols)],
             region.at[buf], sem)
 
+    # Double-buffered region pipeline: origins are scalar-prefetched, so
+    # each step issues the NEXT step's region copy before computing and the
+    # synchronous wait disappears behind the MXU/VPU work (the old
+    # start();wait() per origin change stalled stages 2/3, whose origins
+    # change every step).  state: [0]=current buffer, [1]=prefetch pending.
+    first = step == 0
+
+    @pl.when(first)
+    def _():
+        state[0] = 0
+        state[1] = 0
+        dma = _copy(v, packed, 0)
+        dma.start()
+        dma.wait()
+
+    @pl.when(jnp.logical_and(jnp.logical_not(first), state[1] == 1))
+    def _():
+        # the prefetch issued last step was for THIS step's origin
+        nxt_buf = 1 - state[0]
+        _copy(v, packed, nxt_buf).wait()
+        state[0] = nxt_buf
+        state[1] = 0
+
+    cur = state[0]
+    nxt = origins_ref[jnp.minimum(step + 1, nsteps - 1)]
+
+    @pl.when(jnp.logical_and(step + 1 < nsteps, nxt != packed))
+    def _():
+        _copy((step + 1) // (T * Dc), nxt, 1 - cur).start()
+        state[1] = 1
+
+    px = px_ref[0, 0, 0]                                # (1, P) f32 rows
+    py = py_ref[0, 0, 0]
+    lx = px - ox.astype(jnp.float32)                    # (1, P)
+    ly = py - oy.astype(jnp.float32)
     qc = lax.broadcasted_iota(jnp.int32, (region_cols, P), 0).astype(
         jnp.float32)
     qr = lax.broadcasted_iota(jnp.int32, (region_rows, P), 0).astype(
         jnp.float32)
+    wxT = jnp.maximum(1.0 - jnp.abs(lx - qc), 0.0)      # (Qc, P)
+    wy = jnp.maximum(1.0 - jnp.abs(ly - qr), 0.0)       # (Qr, P)
 
-    for r in range(group):                              # static unroll
-        step = (bv * Sg + sg) * group + r
-        packed = origins_ref[step]
-        hi = packed // 65536
-        ox = packed - hi * 65536
-        oy = hi % 1024
+    A = jax.lax.dot_general(
+        region[cur], wxT.astype(region.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (Qr*C, P)
 
-        # Double-buffered region pipeline: origins are scalar-prefetched,
-        # so each round issues the NEXT round's region copy before
-        # computing and the synchronous wait disappears behind the MXU/VPU
-        # work.  state: [0]=current buffer, [1]=prefetch pending.
-        first = step == 0
+    S = jnp.zeros((C, P), jnp.float32)
+    for r in range(region_rows):                        # static unroll
+        S = S + A[r * C:(r + 1) * C, :] * wy[r:r + 1, :]
 
-        @pl.when(first)
-        def _(packed=packed):
-            state[0] = 0
-            state[1] = 0
-            dma = _copy(bv, packed, 0)
-            dma.start()
-            dma.wait()
-
-        @pl.when(jnp.logical_and(jnp.logical_not(first), state[1] == 1))
-        def _(packed=packed):
-            # the prefetch issued last round was for THIS round's origin
-            nxt_buf = 1 - state[0]
-            _copy(bv, packed, nxt_buf).wait()
-            state[0] = nxt_buf
-            state[1] = 0
-
-        cur = state[0]
-        nxt = origins_ref[jnp.minimum(step + 1, nsteps - 1)]
-
-        @pl.when(jnp.logical_and(step + 1 < nsteps, nxt != packed))
-        def _(packed=packed, nxt=nxt, cur=cur):
-            _copy((step + 1) // Sbv, nxt, 1 - cur).start()
-            state[1] = 1
-
-        px = px_ref[0, 0, r:r + 1]                      # (1, P) f32 rows
-        py = py_ref[0, 0, r:r + 1]
-        lx = px - ox.astype(jnp.float32)                # (1, P)
-        ly = py - oy.astype(jnp.float32)
-        wxT = jnp.maximum(1.0 - jnp.abs(lx - qc), 0.0)  # (Qc, P)
-        wy = jnp.maximum(1.0 - jnp.abs(ly - qr), 0.0)   # (Qr, P)
-
-        A = jax.lax.dot_general(
-            region[cur], wxT.astype(region.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (Qr*C, P)
-
-        S = jnp.zeros((C, P), jnp.float32)
-        for q in range(region_rows):                    # static unroll
-            S = S + A[q * C:(q + 1) * C, :] * wy[q:q + 1, :]
-
-        if grouped_ref:
-            refT = ref_ref[0, 0, r].astype(jnp.float32)      # (C, P)
-        else:
-            refT = ref_ref[0, 0].astype(jnp.float32)         # (C, P)
-        corr = jnp.sum(S * refT, axis=0, keepdims=True) / C
-        out_ref[0, 0, r:r + 1] = corr.astype(out_ref.dtype)  # (1, P)
+    refT = ref_ref[0, 0].astype(jnp.float32)            # (C, P)
+    corr = jnp.sum(S * refT, axis=0, keepdims=True) / C
+    out_ref[0, 0, 0] = corr.astype(out_ref.dtype)       # (1, P)
 
 
 def _project_views(rots, transs, depth, H, W):
@@ -363,7 +332,7 @@ def _project_views(rots, transs, depth, H, W):
 
 def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
                                  tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
-                                 region_rows=None,
+                                 region_rows=REGION_ROWS,
                                  region_cols=REGION_COLS,
                                  interpret=False, depth_chunk=None,
                                  px=None, py=None):
@@ -381,8 +350,6 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     B, H, W, C = ref_fea.shape
     V = src_feas.shape[1]
     D = depth.shape[1]
-    if region_rows is None:
-        region_rows = _auto_region_rows(D)
     region_rows = min(region_rows, H)   # DMA region must fit the source
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)   # x-padded source width
     region_cols = min(region_cols, Wa)
@@ -404,8 +371,10 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
 
     # plane-chunked lane layout (XLA-side; cross-lane reshapes are illegal
     # in-kernel): (BV, Dc, T, DB*P), chunk planes side by side
-    pxc = _chunk_planes(_tile_flat(pxp, tile_rows, tile_cols), BV, D, DB)
-    pyc = _chunk_planes(_tile_flat(pyp, tile_rows, tile_cols), BV, D, DB)
+    pxf = _chunk_planes(_tile_flat(pxp, tile_rows, tile_cols), BV, D, DB) \
+        .reshape(BV, Dc, T, 1, PP)
+    pyf = _chunk_planes(_tile_flat(pyp, tile_rows, tile_cols), BV, D, DB) \
+        .reshape(BV, Dc, T, 1, PP)
     # ref tiles transposed to (B, T, C, P), shared across a sample's views,
     # replicated along lanes per chunk plane
     reff = refp.reshape(B, Th, tile_rows, Tw, tile_cols, C) \
@@ -420,64 +389,31 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
         BV, H * C, W)
     if Wa != W:
         src_packed = jnp.pad(src_packed, ((0, 0), (0, 0), (0, Wa - W)))
-    # origins laid out (BV, T, Dc) to match the step order s = t*Dc + d;
-    # one origin per chunk (min over its planes); clamp against the PADDED
+    # origins laid out (BV, T, Dc) to match the grid iteration order; one
+    # origin per chunk (min over its planes); clamp against the PADDED
     # width (a region may cover the zero columns — right-edge support
     # would be cut off otherwise)
     tags = jnp.arange(BV, dtype=jnp.int32)[:, None, None]
     origins = _compute_origins(
-        pxc.transpose(0, 2, 1, 3),                      # (BV, T, Dc, PP)
-        pyc.transpose(0, 2, 1, 3),
+        pxf[..., 0, :].transpose(0, 2, 1, 3),           # (BV, T, Dc, PP)
+        pyf[..., 0, :].transpose(0, 2, 1, 3),
         H, Wa, region_rows, region_cols, C,
         view_ids=jnp.broadcast_to(tags, (BV, T, Dc)))
 
-    # Step grouping (see _kernel): G unrolled rounds per grid invocation,
-    # fed by (G, PP) px/py/out blocks.  Rounds share one ref tile when
-    # G | Dc (mode A); at Dc == 1 each round is a different tile, so ref
-    # blocks are grouped (G, C, PP) bands instead (mode B).
-    S = T * Dc
-    if Dc == 1:
-        G, grouped_ref = 8, True
-    else:
-        G = next((g for g in (8, 6, 4, 2) if Dc % g == 0), 1)
-        grouped_ref = False
-    Sgp = -(-S // G) * G                                # padded rounds/bv
-    Sg = Sgp // G
-
-    # (BV, S, PP) in step order, padded with the last real step (its origin
-    # repeats too, so padding rounds skip the region DMA and their output
-    # rows are sliced away below)
-    px_s = pxc.transpose(0, 2, 1, 3).reshape(BV, S, PP)
-    py_s = pyc.transpose(0, 2, 1, 3).reshape(BV, S, PP)
-    if Sgp != S:
-        px_s = _pad_to(px_s, {1: G})
-        py_s = _pad_to(py_s, {1: G})
-        origins = _pad_to(origins.reshape(BV, S), {1: G}).reshape(-1)
-    px_s = px_s.reshape(BV, Sg, G, PP)
-    py_s = py_s.reshape(BV, Sg, G, PP)
-
-    if grouped_ref:
-        # Dc == 1: step s IS tile t -> (B, Sg, G, C, PP), zero duplication
-        reff_in = _pad_to(reff, {1: G}).reshape(B, Sg, G, C, PP)
-        ref_spec = pl.BlockSpec((1, 1, G, C, PP),
-                                lambda bv, sg, s: (bv // V, sg, 0, 0, 0))
-    else:
-        reff_in = reff
-        ref_spec = pl.BlockSpec(
-            (1, 1, C, PP),
-            lambda bv, sg, s, _G=G, _Dc=Dc: (bv // V, (sg * _G) // _Dc, 0, 0))
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(BV, Sg),
+        grid=(BV, T, Dc),                               # depth fastest
         in_specs=[
-            pl.BlockSpec((1, 1, G, PP), lambda bv, sg, s: (bv, sg, 0, 0)),
-            pl.BlockSpec((1, 1, G, PP), lambda bv, sg, s: (bv, sg, 0, 0)),
-            ref_spec,
+            pl.BlockSpec((1, 1, 1, 1, PP),
+                         lambda bv, t, d, s: (bv, d, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, PP),
+                         lambda bv, t, d, s: (bv, d, t, 0, 0)),
+            pl.BlockSpec((1, 1, C, PP),
+                         lambda bv, t, d, s, _V=V: (bv // _V, t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),          # src stays put
         ],
-        out_specs=pl.BlockSpec((1, 1, G, PP),
-                               lambda bv, sg, s: (bv, sg, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, 1, PP),
+                               lambda bv, t, d, s: (bv, d, t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, region_rows * C, region_cols), src_feas.dtype),
             pltpu.SMEM((2,), jnp.int32),    # current buffer, prefetch flag
@@ -486,20 +422,19 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     )
 
     kernel = functools.partial(
-        _kernel, C=C, P=PP, region_rows=region_rows, region_cols=region_cols,
-        group=G, grouped_ref=grouped_ref)
+        _kernel, C=C, P=PP, region_rows=region_rows, region_cols=region_cols)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BV, Sg, G, PP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BV, Dc, T, 1, PP), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(origins, px_s, py_s, reff_in, src_packed)
-    # un-group + un-chunk: (BV, Sgp, PP) -> (BV, T, Dc, DB, P) -> (BV*D, T, P)
-    out = out.reshape(BV, Sgp, PP)[:, :S].reshape(BV, T, Dc, DB, P) \
-        .transpose(0, 2, 3, 1, 4).reshape(BV * D, T, P)
+    )(origins, pxf, pyf, reff, src_packed)
+    # un-chunk: (BV, Dc, T, DB, P) -> (BV*D, T, P)
+    out = out.reshape(BV, Dc, T, DB, P).transpose(0, 1, 3, 2, 4) \
+        .reshape(BV * D, T, P)
     out = _tile_unflat(out, Hp, Wp, tile_rows, tile_cols)
     return out.reshape(B, V, D, Hp, Wp)[..., :H, :W]
 
@@ -686,7 +621,7 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
                                      depth, g,
                                      tile_rows=TILE_ROWS,
                                      tile_cols=TILE_COLS,
-                                     region_rows=None,
+                                     region_rows=REGION_ROWS,
                                      region_cols=REGION_COLS,
                                      interpret=False, px=None, py=None):
     """Pallas backward: returns (d_ref (B,H,W,C), d_src (B,V,H,W,C)).
@@ -696,8 +631,6 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
     B, H, W, C = ref_fea.shape
     V = src_feas.shape[1]
     D = depth.shape[1]
-    if region_rows is None:
-        region_rows = _auto_region_rows(D)
     region_rows = min(region_rows, H)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
     region_cols = min(region_cols, Wa)

@@ -4,7 +4,9 @@ One TPU process sweeps the batch sizes; prints maps/s per B incrementally
 (relay compiles are slow — run under nohup/timeout per the repo notes).
 
 Measured (v5e): r1 kernel {4: 12.1, 6: 14.1, 8: 12.7}; r2 double-buffered
-depth-chunked kernel {6: 16.25, 8: 12.78, 10: 12.47, 12: 13.52} — B=6
+depth-chunked kernel — the pallas_warp.py revision at commit 303af2a,
+restored at round-3 HEAD after the unbenched grouping rewrite regressed
+5x (VERDICT r2 #1) — {6: 16.25, 8: 12.78, 10: 12.47, 12: 13.52}: B=6
 stays the sweet spot (HBM pressure past B=6 outweighs the extra
 amortization; B=12 recovers a little but never catches up).
 """
