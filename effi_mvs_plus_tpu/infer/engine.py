@@ -36,15 +36,28 @@ def _fit_devices(batch_size):
 
 class InferenceEngine:
     def __init__(self, params, cfg: EffiMVSConfig = EffiMVSConfig(),
-                 donate=False, shard_views=False):
+                 donate=False, shard_views=False, buckets=None):
         """shard_views: on a multi-chip host, put the WHOLE device mesh on
         the model axis and shard the source-view axis — every chip
         cooperates on one depth map (FPN + per-view warps sharded, view
         reduction psummed over ICI).  The T&T deployment point (batch 1,
         11 views at 1920x1056) is the target: per-chip HBM for the
-        feature stack drops ~V/n-fold (SHARDING_TANK_r02.json)."""
+        feature stack drops ~V/n-fold (SHARDING_TANK_r02.json).
+
+        buckets: optional list of (H, W) compilation buckets (each a
+        multiple of 32, ascending area).  Per-scene native sizes
+        (reference tank.py:33-49 / general_eval fix_wh) otherwise each
+        pay a full XLA compile (~minutes through the relay at T&T size);
+        with buckets, an input is zero-padded bottom/right to the
+        smallest bucket that holds it and the outputs are cropped back —
+        the pad rim is beyond every real pixel, the principal point does
+        not move, and zeros match the warp's out-of-image convention, so
+        real-area depths are unaffected outside a receptive-field-wide
+        edge band (the same band the fusion vote already distrusts)."""
         self.params = params
         self.cfg = cfg
+        self.buckets = (sorted(buckets, key=lambda hw: hw[0] * hw[1])
+                        if buckets else None)
         self._fn = jax.jit(self._run)
         self._policy = None
         if shard_views and jax.device_count() > 1:
@@ -69,10 +82,39 @@ class InferenceEngine:
         return (out["depth"][-1].astype(jnp.float32),
                 out["photometric_confidence"].astype(jnp.float32))
 
+    def _pick_bucket(self, H, W):
+        for bh, bw in self.buckets:
+            if bh >= H and bw >= W:
+                return bh, bw
+        return None
+
     def _infer_device(self, batch):
         """Dispatch the forward for one batch; returns DEVICE arrays
         (depth, conf) without forcing a host sync — JAX dispatch is
-        async, so the caller can overlap host work with chip compute."""
+        async, so the caller can overlap host work with chip compute.
+
+        With `buckets`, the images are zero-padded bottom/right to the
+        smallest bucket and the outputs cropped back, so scenes with
+        different native sizes share one compiled executable."""
+        crop = None
+        if self.buckets is not None:
+            H, W = batch["imgs"].shape[2], batch["imgs"].shape[3]
+            bucket = self._pick_bucket(H, W)
+            if bucket is not None and bucket != (H, W):
+                bh, bw = bucket
+                imgs = np.asarray(batch["imgs"])
+                imgs = np.pad(imgs, ((0, 0), (0, 0), (0, bh - H),
+                                     (0, bw - W), (0, 0)))
+                batch = {**batch, "imgs": imgs}
+                crop = (H, W)
+        depth, conf = self._infer_device_raw(batch)
+        if crop is not None:
+            H, W = crop
+            depth = depth[:, :H, :W]
+            conf = conf[:, :H // 2, :W // 2]
+        return depth, conf
+
+    def _infer_device_raw(self, batch):
         projs = {k: v for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3")}
         B = batch["imgs"].shape[0]

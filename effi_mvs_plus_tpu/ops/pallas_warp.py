@@ -96,13 +96,15 @@ def _align_down(v, m):
     return (v // m) * m
 
 
-def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024):
+def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024,
+                      region_rows=REGION_ROWS):
     """Depth planes fused per kernel step.  Larger chunks amortize the
     per-step fixed cost (grid step, origin check, out/px/py block DMAs) —
     measured ~5-7 us/step of the 11.3 us stage-3 step time — but grow the
-    in-kernel (Qr*C, DB*P) f32 accumulator; cap it at `budget_bytes` so
-    stage 1 (C=32) picks 4 while stages 2/3 pick 8."""
-    qrc = REGION_ROWS * C
+    in-kernel (Qr*C, DB*P) f32 accumulator; cap it at `budget_bytes`.
+    `region_rows` must be the SAME value the kernel will run with (the
+    accumulator height is region_rows*C — ADVICE r2 #4)."""
+    qrc = region_rows * C
     for db in (8, 6, 5, 4, 3, 2, 1):
         if D % db == 0 and qrc * db * P * 4 <= budget_bytes:
             return db
@@ -201,23 +203,26 @@ def _support_fits_traced(px, py, H, W, Hs, Ws, C,
 
 
 def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
-                 px=None, py=None):
+                 px=None, py=None, region_rows=REGION_ROWS):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
     standalone diagnostic.  `depth_chunk` defaults to the same auto choice
-    the forward kernel makes (chunk-fits implies per-plane-fits, so this
-    predicate is also valid for the per-plane backward kernel).  Pass
-    px/py to reuse an already-computed projection field."""
+    the forward kernel makes FOR THE GIVEN region_rows (chunk-fits implies
+    per-plane-fits, so this predicate is also valid for the per-plane
+    backward kernel).  Pass px/py to reuse an already-computed projection
+    field."""
     D = depth.shape[1]
     if px is None or py is None:
         px, py = _project_views(rots, transs, depth, H, W)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
+    region_rows = min(region_rows, H)
     if depth_chunk is None:
-        depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS)
+        depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS,
+                                        region_rows=region_rows)
     return _support_fits_traced(
         px, py, H, W, H, Wa, C,
-        region_rows=min(REGION_ROWS, H), region_cols=min(REGION_COLS, Wa),
+        region_rows=region_rows, region_cols=min(REGION_COLS, Wa),
         depth_chunk=depth_chunk)
 
 
@@ -225,7 +230,9 @@ def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
                 tile_rows=TILE_ROWS, tile_cols=TILE_COLS, C=8):
     """Host-side diagnostic: True iff every tile's projected support fits
     the configured region under worst-case origin alignment.
-    px, py: (D, H, W) projected coords."""
+    px, py: (D, H, W) projected coords.  NOTE: the deployed dispatch is a
+    ladder that tries region_rows=16 before the default — pass
+    region_rows=16 to ask which rung a rig will take (ADVICE r2 #3)."""
     px = _pad_to(jnp.asarray(px), {1: tile_rows, 2: tile_cols})
     py = _pad_to(jnp.asarray(py), {1: tile_rows, 2: tile_cols})
     pxf = np.asarray(_tile_flat(px, tile_rows, tile_cols))
@@ -355,7 +362,7 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     region_cols = min(region_cols, Wa)
     P = tile_rows * tile_cols
     BV = B * V
-    DB = depth_chunk or _auto_depth_chunk(D, C, P)
+    DB = depth_chunk or _auto_depth_chunk(D, C, P, region_rows=region_rows)
     Dc = D // DB
     PP = DB * P                         # lanes per step
 
@@ -761,21 +768,29 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     D = depth.shape[1]
     if not _supported(H, W, C, D, groups):
         return _views_xla(ref_fea, src_feas, rots, transs, depth, groups)
-    # geometry-safety dispatch: the pallas kernel silently zeroes in-image
-    # taps that fall outside its static regions, so cameras wilder than the
-    # configured margins automatically take the exact XLA gather path
-    # instead (both branches compile once; only one executes per batch).
-    # The projection field is computed ONCE and shared by the predicate
-    # and the kernel wrapper.
+    # geometry-safety dispatch, now a 3-rung ladder (round-3 sweep,
+    # BASELINE.md): the 16-row region cuts the kernel's matmul FLOPs
+    # (QrC 24C -> 16C) for a measured 1.4x at every stage, so try it
+    # first; plane sweeps whose vertical support overflows 16 rows take
+    # the 24-row kernel, and cameras wilder than both margins take the
+    # exact XLA gather path.  All rungs compile once; one executes per
+    # batch.  The projection field is computed ONCE and shared by the
+    # predicates and the kernel wrappers.
     px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
-    fits = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
-    return lax.cond(
-        fits,
+    fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                          region_rows=16)
+    fits24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
+    rung = jnp.where(fits16, 0, jnp.where(fits24, 1, 2))
+    return lax.switch(rung, [
+        lambda: _plane_sweep_correlate_views(
+            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            region_rows=16, interpret=interpret, px=px,
+            py=py).astype(ref_fea.dtype),
         lambda: _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
             interpret=interpret, px=px, py=py).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
-                           groups).astype(ref_fea.dtype))
+                           groups).astype(ref_fea.dtype)])
 
 
 def _views_fwd(ref_fea, src_feas, rots, transs, depth, groups, interpret):
@@ -799,17 +814,25 @@ def _views_bwd(groups, interpret, res, g):
     if _supported(H, W, C, D, groups):
         # pallas backward — the XLA gather/scatter fallback pads its
         # (...,2,2,C) blocks 64x on TPU and OOMs HBM at training shapes —
-        # under the same geometry-safety cond as the forward; one shared
-        # projection field for predicate + kernel
+        # under the same 3-rung geometry ladder as the forward (the bwd
+        # kernel is per-plane, and chunk-fits implies plane-fits, so the
+        # forward predicates are valid here); one shared projection field
+        # for predicates + kernels
         px, py = _project_views(rots, transs, depth.astype(jnp.float32),
                                 H, W)
-        fits = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
-        d_ref, d_src = lax.cond(
-            fits,
+        fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                              region_rows=16)
+        fits24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
+        rung = jnp.where(fits16, 0, jnp.where(fits24, 1, 2))
+        d_ref, d_src = lax.switch(rung, [
+            lambda: _plane_sweep_correlate_views_bwd(
+                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                g.astype(jnp.float32), region_rows=16, interpret=interpret,
+                px=px, py=py),
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
                 g.astype(jnp.float32), interpret=interpret, px=px, py=py),
-            xla_grads)
+            xla_grads])
         return d_ref, d_src, None, None, None
     d_ref, d_src = xla_grads()
     return d_ref, d_src, None, None, None

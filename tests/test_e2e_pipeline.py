@@ -17,8 +17,12 @@ def test_full_pipeline_on_synthetic_plane(tmp_path):
     root = str(tmp_path / "data")
     out = str(tmp_path / "out")
     os.makedirs(root)
+    # focal/baseline chosen for sound triangulation at this tiny size:
+    # depth sensitivity z^2/(f*b) ~ 12.5 mm per px of matching error
+    # (the original f=120/b=8 scene was ~90 mm/px — any pass was luck)
     _scan_dir, listfile = build_scene(root, n_views=4, H=64, W=96,
-                                      depth_plane=600.0)
+                                      depth_plane=600.0, focal=360.0,
+                                      baseline=40.0)
 
     from effi_mvs_plus_tpu.cli import test_dtu
     # relaxed consistency thresholds: the tiny noisy synthetic scene can't
