@@ -55,6 +55,10 @@ def build_parser(profile_name="dtu_train"):
     p.add_argument("--save_freq", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--num_workers", type=int)
+    p.add_argument("--device_cache", action="store_true",
+                   help="upload the distinct dataset views to HBM once and"
+                        " assemble batches on device (data/device_cache.py)"
+                        " — for fits-in-HBM datasets / slow host links")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="devices on the mesh data axis (default: all)")
     p.add_argument("--model_parallel", type=int, default=1,
@@ -145,16 +149,27 @@ def main(argv=None):
     pid = jax.process_index()
     train_view = (parallel.partition(range(len(train_ds)), n_proc, pid)
                   if n_proc > 1 else None)
-    train_loader = Loader(train_ds, args.batch_size, shuffle=True,
-                          num_workers=args.num_workers, drop_last=True,
-                          seed=args.seed, indices=train_view)
     test_view = (parallel.partition(range(len(test_ds)), n_proc, pid)
                  if n_proc > 1 else None)
     n_test = len(test_view) if test_view is not None else len(test_ds)
     eval_bs = args.batch_size if n_test >= args.batch_size \
         else max(1, n_test)
-    test_loader = Loader(test_ds, eval_bs, shuffle=False, drop_last=True,
-                         num_workers=args.num_workers, indices=test_view)
+    if args.device_cache:
+        from effi_mvs_plus_tpu.data.device_cache import DeviceCacheLoader
+        assert n_proc == 1, "--device_cache is single-host for now"
+        train_loader = DeviceCacheLoader(train_ds, args.batch_size,
+                                         shuffle=True, seed=args.seed,
+                                         drop_last=True)
+        test_loader = DeviceCacheLoader(test_ds, eval_bs, drop_last=True)
+        print(f"device cache: {train_loader.nbytes() / 1e9:.2f} GB train "
+              f"+ {test_loader.nbytes() / 1e9:.2f} GB eval in HBM")
+    else:
+        train_loader = Loader(train_ds, args.batch_size, shuffle=True,
+                              num_workers=args.num_workers, drop_last=True,
+                              seed=args.seed, indices=train_view)
+        test_loader = Loader(test_ds, eval_bs, shuffle=False, drop_last=True,
+                             num_workers=args.num_workers,
+                             indices=test_view)
 
     params, start_epoch, opt_state = load_initial_params(args, cfg, rng)
     n_params = sum(int(np.prod(x.shape))
@@ -209,6 +224,9 @@ def main(argv=None):
 
     from effi_mvs_plus_tpu.utils.logging import MetricsWriter
     writer = MetricsWriter(args.logdir) if is_main() else None
+    if writer is not None and args.resume and start_epoch > 0:
+        writer.event("resume", epoch=start_epoch,
+                     ckpt=T.latest_checkpoint(args.logdir) or "")
 
     step_rng = jax.random.PRNGKey(args.seed + 1)
     gstep = start_epoch * len(train_loader)

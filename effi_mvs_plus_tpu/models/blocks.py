@@ -113,24 +113,20 @@ def csp_block(cur_volume, prev_volume, p, ctx=None):
     return up[..., 0]
 
 
-def gru_step(h, x, p, ctx=None):
+def gru_step(h, x, p, ctx=None, impl="auto"):
     """ConvGRU with 3x3 gates.  h: (B,H,W,hdim); x: (B,H,W,xdim).
 
-    The z and r gates share the [h, x] input, so their convs are evaluated
-    as ONE conv with stacked output channels (identical math to the
-    reference's separate convz/convr, update.py:40-49 — the weight concat
-    is hoisted by XLA since params are constants under jit)."""
-    hd = h.shape[-1]
-    hx = jnp.concatenate([h, x], axis=-1)
-    w_zr = jnp.concatenate([p["convz"]["weight"], p["convr"]["weight"]],
-                           axis=-1)
-    b_zr = jnp.concatenate([p["convz"]["bias"], p["convr"]["bias"]])
-    zr = jax.nn.sigmoid(nn.conv2d(hx, w_zr, b_zr, padding=1))
-    z, r = zr[..., :hd], zr[..., hd:]
-    rhx = jnp.concatenate([r * h, x], axis=-1)
-    q = jnp.tanh(nn.conv2d(rhx, p["convq"]["weight"],
-                           p["convq"]["bias"], padding=1))
-    return (1 - z) * h + z * q
+    Dispatches to the fused Pallas kernel on TPU (ops/pallas_gru.py: one
+    HBM round-trip per step instead of per conv) or the XLA path
+    elsewhere.  Both are bit-comparable implementations of the reference
+    math (update.py:40-49).  'auto' takes the kernel only at INFERENCE
+    (ctx is None): under training the custom_vjp would re-run the XLA
+    graph in the backward anyway, so the kernel's forward saving is a net
+    loss there."""
+    from effi_mvs_plus_tpu.ops import pallas_gru
+    if impl == "auto" and ctx is not None:
+        impl = "xla"
+    return pallas_gru.gru_step(h, x, p, impl=impl)
 
 
 def projection_input(disp, cost, context, p, ctx=None):
@@ -172,7 +168,7 @@ def upsample_mask(h, p):
 
 
 def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
-                 scale_inv_depth, ctx=None):
+                 scale_inv_depth, ctx=None, gru_impl="auto"):
     """RAFT-style iterative refinement (update.py:114-141).
 
     hidden: (B,H,W,hdim); inv_depth: (B,H,W,1) normalised inverse depth;
@@ -191,7 +187,7 @@ def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
         with scope(ctx, f"iter{i}"):
             with scope(ctx, "encoder"):
                 x = projection_input(inv_depth, cost, context, p["encoder"], ctx)
-            hidden = gru_step(hidden, x, p["depth_gru"], ctx)
+            hidden = gru_step(hidden, x, p["depth_gru"], ctx, impl=gru_impl)
             with scope(ctx, "depth_head"):
                 delta = depth_head(hidden, p["depth_head"], ctx)
         inv_depth = inv_depth + delta

@@ -67,6 +67,9 @@ class EffiMVSConfig:
     # region margins and lax.cond-falls back to the exact XLA gather path
     # for wilder cameras — no silent zeroing.
     warp_impl: str = "auto"
+    # ConvGRU implementation: 'auto' = fused pallas kernel on TPU
+    # (ops/pallas_gru.py), XLA convs elsewhere; 'pallas' / 'xla' force.
+    gru_impl: str = "auto"
 
 
 def _bshape(x, ndim):
@@ -276,7 +279,7 @@ def forward(params, imgs, proj_matrices, depth_values,
                 par.constrain_spatial(hiddens[s].astype(dt)), get_cost,
                 inv_cur_depth[..., None].astype(dt), contexts[s].astype(dt),
                 params[f"update_block_depth{s + 1}"], cfg.gru_iters[s],
-                scale4, ctx)
+                scale4, ctx, gru_impl=cfg.gru_impl)
 
         for inv_d in inv_depth_list:
             depth_predictions.append(

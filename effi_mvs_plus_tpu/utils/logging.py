@@ -46,6 +46,14 @@ class MetricsWriter:
                 self._tb.add_scalar(key, float(v), int(step))
         self._f.write(json.dumps(rec) + "\n")
 
+    def event(self, name: str, **fields):
+        """Append a non-scalar lifecycle row (e.g. a resume) so run
+        history is reconstructable from the JSONL alone."""
+        rec = {"event": name, "time": time.time()}
+        for k, v in fields.items():
+            rec[k] = v if isinstance(v, (str, bool)) else float(v)
+        self._f.write(json.dumps(rec) + "\n")
+
     def close(self):
         self._f.close()
         if self._tb is not None:

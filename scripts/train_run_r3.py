@@ -1,0 +1,194 @@
+"""Multi-epoch TPU training run through the REAL CLI path (VERDICT r2 #7).
+
+Reference-shaped run (train.py:93-178,446-461 contract): >=3 epochs x
+>=1k steps at the reference training resolution (640x512 crops, 5 views,
+dtu_yao layout), full OneCycle traversal, per-epoch eval + checkpoint,
+one kill-and-resume mid-run, BN running stats asserted sane at the end.
+
+Phases:
+  1. build the synthetic DTU tree (scripts/synth_dtu_dataset.py) if absent
+  2. launch `python -m effi_mvs_plus_tpu.cli.train` (epochs=4), kill the
+     exact process group once epoch 2 is underway (mid-run kill)
+  3. relaunch with --resume, run to completion
+  4. assert: resume event in metrics.jsonl, OneCycle rose-then-fell,
+     train loss decreased, eval improved, BN running stats finite/positive
+  -> TRAIN_r03.json + metrics_train_r03.jsonl at the repo root
+
+Run:  timeout 10800 python scripts/train_run_r3.py > /tmp/train_r3.log 2>&1
+"""
+
+import json
+import os
+import pickle
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROOT = "/tmp/dtu_synth_r3"
+LOGDIR = "/tmp/train_r3_run"
+EPOCHS = 4
+BATCH = 4
+ART = os.path.join(REPO, "TRAIN_r03.json")
+JSONL_COPY = os.path.join(REPO, "metrics_train_r03.jsonl")
+
+ARGV = [sys.executable, "-m", "effi_mvs_plus_tpu.cli.train",
+        "--mode", "train", "--dataset", "dtu_yao",
+        "--trainpath", ROOT,
+        "--trainlist", os.path.join(ROOT, "train.txt"),
+        "--testlist", os.path.join(ROOT, "val.txt"),
+        "--logdir", LOGDIR, "--epochs", str(EPOCHS),
+        "--batch_size", str(BATCH), "--trainviews", "5", "--testviews", "5",
+        "--num_workers", "12", "--summary_freq", "50", "--save_freq", "1",
+        # HBM-resident dataset: the relay's host->device path (~40 MB/s)
+        # leaks every transferred buffer host-side — streaming 130 MB
+        # batches OOM-killed the first attempt (see data/device_cache.py)
+        "--device_cache"]
+
+
+def launch(argv, log_path):
+    f = open(log_path, "ab", buffering=0)
+    return subprocess.Popen(argv, cwd=REPO, stdout=f, stderr=f,
+                            start_new_session=True), f
+
+
+def wait_for(log_path, needle, proc, timeout_s):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"train CLI exited rc={proc.returncode} before '{needle}'")
+        try:
+            with open(log_path, "rb") as f:
+                if needle.encode() in f.read():
+                    return True
+        except FileNotFoundError:
+            pass
+        time.sleep(5)
+    raise TimeoutError(f"'{needle}' not seen within {timeout_s}s")
+
+
+def main():
+    t_all = time.time()
+    if not os.path.exists(os.path.join(ROOT, "train.txt")):
+        print("building synthetic DTU tree ...", flush=True)
+        rc = subprocess.run([sys.executable,
+                             os.path.join(REPO, "scripts",
+                                          "synth_dtu_dataset.py"), ROOT],
+                            cwd=REPO).returncode
+        assert rc == 0, "dataset build failed"
+    import shutil
+    shutil.rmtree(LOGDIR, ignore_errors=True)   # fresh run dir
+    os.makedirs(LOGDIR, exist_ok=True)
+
+    # ---- phase 1: train until epoch 2 is underway, then kill the group ----
+    log1 = os.path.join(LOGDIR, "phase1.log")
+    print("phase 1: launching train CLI", flush=True)
+    t1 = time.time()
+    proc, f1 = launch(ARGV, log1)
+    try:
+        wait_for(log1, "epoch 2 iter 1", proc, timeout_s=5400)
+        time.sleep(20)   # a few more steps into epoch 2
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)   # exact pgid we started
+        proc.wait()
+        f1.close()
+    phase1_s = time.time() - t1
+    print(f"phase 1 killed mid-epoch-2 after {phase1_s:.0f}s", flush=True)
+    assert os.path.exists(os.path.join(LOGDIR, "model_000001.ckpt"))
+
+    # ---- phase 2: resume to completion ----
+    log2 = os.path.join(LOGDIR, "phase2.log")
+    print("phase 2: resuming", flush=True)
+    t2 = time.time()
+    proc, f2 = launch(ARGV + ["--resume"], log2)
+    rc = proc.wait(timeout=9000)
+    f2.close()
+    phase2_s = time.time() - t2
+    assert rc == 0, f"resumed run failed rc={rc} (see {log2})"
+
+    # ---- phase 3: verify + artifact ----
+    rows = [json.loads(ln) for ln in open(os.path.join(LOGDIR,
+                                                       "metrics.jsonl"))]
+    resume_events = [r for r in rows if r.get("event") == "resume"]
+    assert resume_events, "no resume event in metrics.jsonl"
+    train_rows = [r for r in rows if "train/loss" in r]
+    eval_rows = [r for r in rows if any(k.startswith("eval/") for k in r)]
+    losses = [r["train/loss"] for r in train_rows]
+    lrs = [r["train/lr"] for r in train_rows]
+    assert all(np.isfinite(losses)), "non-finite train loss"
+    # OneCycle: warmup then anneal across the run
+    i_max = int(np.argmax(lrs))
+    assert lrs[i_max] > lrs[0] and lrs[-1] < 0.5 * lrs[i_max], (
+        f"OneCycle shape wrong: first {lrs[0]:.2e} max {lrs[i_max]:.2e} "
+        f"last {lrs[-1]:.2e}")
+    first_k = float(np.mean(losses[:5]))
+    last_k = float(np.mean(losses[-5:]))
+    assert last_k < first_k, f"loss did not decrease: {first_k} -> {last_k}"
+
+    ckpt = os.path.join(LOGDIR, f"model_{EPOCHS - 1:06d}.ckpt")
+    payload = pickle.load(open(ckpt, "rb"))
+    bn_mean_max = bn_var_min = bn_var_max = None
+    n_bn = 0
+
+    def walk(node):
+        nonlocal bn_mean_max, bn_var_min, bn_var_max, n_bn
+        if isinstance(node, dict):
+            if "running_mean" in node and "running_var" in node:
+                m, v = np.asarray(node["running_mean"]), np.asarray(
+                    node["running_var"])
+                assert np.isfinite(m).all() and np.isfinite(v).all()
+                assert (v > 0).all(), "non-positive BN running_var"
+                n_bn += 1
+                bn_mean_max = max(bn_mean_max or 0, float(np.abs(m).max()))
+                bn_var_min = min(bn_var_min or 1e30, float(v.min()))
+                bn_var_max = max(bn_var_max or 0, float(v.max()))
+            for val in node.values():
+                walk(val)
+
+    walk(payload["params"])
+    assert n_bn > 0 and bn_var_max < 1e7 and bn_mean_max < 1e4, (
+        f"BN stats unreasonable: |mean|max {bn_mean_max} var "
+        f"[{bn_var_min}, {bn_var_max}] over {n_bn} layers")
+
+    steps_per_epoch = max(r["step"] for r in train_rows) // EPOCHS
+    eval_abs = [{k: v for k, v in r.items() if k.startswith("eval/")}
+                for r in eval_rows]
+    art = {
+        "config": {"epochs": EPOCHS, "batch_size": BATCH,
+                   "resolution": "640x512", "views": 5,
+                   "steps_per_epoch_approx": steps_per_epoch,
+                   "dataset": "synthetic dtu_yao tree, 37 train + 2 val "
+                              "scans x 16 refs x 7 lights, HBM device "
+                              "cache (relay H2D leaks + 40 MB/s)",
+                   "cli": " ".join(ARGV[1:])},
+        "phase1_s": round(phase1_s, 1), "phase2_s": round(phase2_s, 1),
+        "killed_at": "mid-epoch-2 (SIGKILL to the exact process group)",
+        "resume_event": resume_events[0],
+        "train_loss_first5_mean": first_k, "train_loss_last5_mean": last_k,
+        "onecycle_lr": {"first": lrs[0], "max": lrs[i_max],
+                        "last": lrs[-1]},
+        "eval_per_epoch_abs_depth_error": [
+            e.get("eval/abs_depth_error") for e in eval_abs],
+        "eval_last": eval_abs[-1] if eval_abs else None,
+        "bn_stats": {"layers": n_bn, "abs_mean_max": bn_mean_max,
+                     "var_min": bn_var_min, "var_max": bn_var_max},
+        "total_s": round(time.time() - t_all, 1),
+        "logs": [log1, log2],
+    }
+    with open(ART, "w") as f:
+        json.dump(art, f, indent=1)
+    import shutil
+    shutil.copy(os.path.join(LOGDIR, "metrics.jsonl"), JSONL_COPY)
+    print(json.dumps(art, indent=1), flush=True)
+    print("TRAIN_r03 OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
