@@ -30,10 +30,18 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ROOT = "/tmp/dtu_synth_r3"
+ROOT = "/tmp/dtu_synth_r3_320"
 LOGDIR = "/tmp/train_r3_run"
 EPOCHS = 4
 BATCH = 4
+# Resolution: 320x256 crops.  At the reference's 640x512 the B=4 step
+# alone runs but leaves <2 GB of v5e HBM — the dataset cache (required
+# here: the relay's H2D path leaks host RAM, see data/device_cache.py)
+# does not fit beside it, and B=3 + cache still exhausted HBM.  The
+# 640x512 step itself is already evidenced at B=4 by TRAIN_r02; this
+# run's purpose is the reference-shaped DRIVER contract (epochs x >=1k
+# steps, OneCycle, per-epoch eval+ckpt, kill+resume, BN stats).
+IMG_WH = "320,256"
 ART = os.path.join(REPO, "TRAIN_r03.json")
 JSONL_COPY = os.path.join(REPO, "metrics_train_r03.jsonl")
 
@@ -45,6 +53,7 @@ ARGV = [sys.executable, "-m", "effi_mvs_plus_tpu.cli.train",
         "--logdir", LOGDIR, "--epochs", str(EPOCHS),
         "--batch_size", str(BATCH), "--trainviews", "5", "--testviews", "5",
         "--num_workers", "12", "--summary_freq", "50", "--save_freq", "1",
+        "--crop_wh", IMG_WH,
         # HBM-resident dataset: the relay's host->device path (~40 MB/s)
         # leaks every transferred buffer host-side — streaming 130 MB
         # batches OOM-killed the first attempt (see data/device_cache.py)
@@ -79,7 +88,8 @@ def main():
         print("building synthetic DTU tree ...", flush=True)
         rc = subprocess.run([sys.executable,
                              os.path.join(REPO, "scripts",
-                                          "synth_dtu_dataset.py"), ROOT],
+                                          "synth_dtu_dataset.py"), ROOT,
+                             "--img_wh", IMG_WH],
                             cwd=REPO).returncode
         assert rc == 0, "dataset build failed"
     import shutil
@@ -162,7 +172,9 @@ def main():
                 for r in eval_rows]
     art = {
         "config": {"epochs": EPOCHS, "batch_size": BATCH,
-                   "resolution": "640x512", "views": 5,
+                   "resolution": IMG_WH + " (WxH; 640x512 B=4 step itself "
+                   "evidenced in TRAIN_r02 — HBM cannot hold it plus the "
+                   "device cache this environment requires)", "views": 5,
                    "steps_per_epoch_approx": steps_per_epoch,
                    "dataset": "synthetic dtu_yao tree, 37 train + 2 val "
                               "scans x 16 refs x 7 lights, HBM device "
