@@ -19,7 +19,7 @@ BASELINE_MAPS_PER_S = 6.9   # pinned reference GPU throughput (BASELINE.md)
 # Last value committed to BASELINE.md for THIS metric; a measurement below
 # half of it is flagged loudly in the JSON so a kernel regression can never
 # land silently again (VERDICT r2 weak #1/#8).
-LAST_COMMITTED_MAPS_PER_S = 17.81
+LAST_COMMITTED_MAPS_PER_S = 17.92   # region-rows ladder + fused pallas GRU
 
 H, W, V, B = 864, 1152, 5, 6   # B swept in scripts/bench_batch_sweep.py:
                                # {4: 12.1, 6: 14.1, 8: 12.7 maps/s} —

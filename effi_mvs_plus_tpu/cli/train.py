@@ -55,6 +55,10 @@ def build_parser(profile_name="dtu_train"):
     p.add_argument("--save_freq", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--num_workers", type=int)
+    p.add_argument("--crop_wh", default=None,
+                   help="DTU-family rectified-crop size 'W,H' (default the"
+                        " reference's 640,512) — smaller crops for"
+                        " memory-limited chips")
     p.add_argument("--device_cache", action="store_true",
                    help="upload the distinct dataset views to HBM once and"
                         " assemble batches on device (data/device_cache.py)"
@@ -112,6 +116,12 @@ def main(argv=None):
                              else "dtu_train")
     args = build_parser(profile).parse_args(argv)
     import jax
+    # persistent compile cache: a resumed run (or repeated launches at the
+    # same shapes) skips the multi-minute XLA compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from effi_mvs_plus_tpu import parallel
     from effi_mvs_plus_tpu.data import find_dataset
     from effi_mvs_plus_tpu.data.loader import Loader
@@ -130,6 +140,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
 
     ds_cls = find_dataset(args.dataset)
+    if args.crop_wh:
+        import functools
+        wh = tuple(int(x) for x in args.crop_wh.split(","))
+        ds_cls = functools.partial(ds_cls, crop_wh=wh)
     test_ds = ds_cls(args.testpath or args.trainpath, args.testlist, "test",
                      args.testviews, args.numdepth)
 

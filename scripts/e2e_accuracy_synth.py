@@ -24,7 +24,11 @@ def main():
         stats = run_accuracy_chain(td)
     stats["pass"] = bool(stats["overall_mm"] < 2.0
                          and stats["overall_mm"] < 0.2 * INITIAL_SPACING_MM)
-    out = os.path.join(_REPO, "E2E_ACCURACY_r03.json")
+    import jax
+    stats["backend"] = jax.default_backend()   # tpu run covers the pallas
+    # kernels (warp + fused GRU) on-chip; cpu run is the f32-ish oracle
+    out = os.path.join(_REPO, sys.argv[1] if len(sys.argv) > 1
+                       else "E2E_ACCURACY_r03.json")
     with open(out, "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats, indent=1))

@@ -25,9 +25,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-W, H = 640, 512            # the rectified-crop resolution (train.sh:22)
-F = 500.0                  # focal length, px
+W, H = 640, 512            # the rectified-crop resolution (train.sh:22);
+F = 500.0                  # overridable via --img_wh (F scales with W)
 N_SRC = 10                 # srcs per ref in pair.txt (DTU uses 10)
+
+
+def set_resolution(w, h):
+    global W, H, F
+    W, H, F = w, h, 500.0 * (w / 640.0)
 
 
 def _scan_cameras(rng, n_views):
@@ -128,8 +133,13 @@ def main():
     ap.add_argument("--val_scans", type=int, default=2,
                     help="last N scans go to the val list")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--img_wh", default=None,
+                    help="render resolution 'W,H' (default 640,512)")
     args = ap.parse_args()
 
+    if args.img_wh:
+        w, h = (int(x) for x in args.img_wh.split(","))
+        set_resolution(w, h)
     scans = build(args.root, args.scans, args.refs, args.seed)
     n_val = args.val_scans
     with open(os.path.join(args.root, "train.txt"), "w") as f:
