@@ -29,16 +29,49 @@ def _upsample_nearest2x(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-def feature_net(x, p, ctx=None):
+def feature_net(x, p, ctx=None, stem_impl="auto"):
     """4-level conv pyramid + top-down FPN.  x: (B,H,W,3 or any C).
 
     Returns {'stage1': 1/8-res, 'stage2': 1/4-res, 'stage3': 1/2-res}.
+
+    stem_impl='pallas' runs each level's stride-1 3x3 conv+BN+ReLU pair
+    as ONE fused Pallas kernel with folded BN (ops/pallas_conv.py,
+    inference only).  Measured on v5e and REJECTED as the default: the
+    chain itself beats XLA, but the level's 5x5 stride-2 convs and FPN
+    heads stay XLA so the net full-net win at T&T is only 81 vs 90 ms,
+    and at the DTU bench shape the dispatch LOSES 26 ms/iter (extra
+    NHWC<->channels-first transposes + RGB->8 channel pad, and XLA loses
+    its conv0 fusion context) — BASELINE.md round-3 burndown.  'auto'
+    therefore keeps XLA; force 'pallas' to re-evaluate.
     """
+    use_fused = stem_impl == "pallas"
+
     def seq(x, name, specs):
-        for i, (stride, pad) in enumerate(specs):
+        i = 0
+        while i < len(specs):
+            blk = p[f"{name}.{i}"]
+            stride, pad = specs[i]
+            if use_fused and stride == 1 and pad == 1 \
+                    and blk["conv"]["weight"].shape[0] == 3:
+                from effi_mvs_plus_tpu.ops import pallas_conv as pcv
+                chain = []
+                j = i
+                while j < len(specs) and specs[j] == (1, 1) \
+                        and p[f"{name}.{j}"]["conv"]["weight"].shape[0] == 3:
+                    b = p[f"{name}.{j}"]
+                    chain.append(pcv.fold_bn(b["conv"]["weight"], b["bn"],
+                                             conv_bias=b["conv"].get("bias")))
+                    j += 1
+                if pcv.chain_fits(x.shape, [w.shape[3] for w, _ in chain]):
+                    # forced 'pallas' off-TPU (tests) runs interpreted
+                    x = pcv.conv_bn_relu_chain(
+                        x, chain,
+                        interpret=jax.default_backend() != "tpu")
+                    i = j
+                    continue
             with scope(ctx, f"{name}.{i}"):
-                x = nn.conv2d_block(x, p[f"{name}.{i}"], ctx,
-                                    stride=stride, padding=pad)
+                x = nn.conv2d_block(x, blk, ctx, stride=stride, padding=pad)
+            i += 1
         return x
 
     conv0 = seq(x, "conv0", [(1, 1), (1, 1)])

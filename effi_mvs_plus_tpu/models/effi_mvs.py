@@ -70,6 +70,9 @@ class EffiMVSConfig:
     # ConvGRU implementation: 'auto' = fused pallas kernel on TPU
     # (ops/pallas_gru.py), XLA convs elsewhere; 'pallas' / 'xla' force.
     gru_impl: str = "auto"
+    # FPN-stem 3x3 chains: 'auto' = fused pallas kernel at inference on
+    # TPU with folded BN (ops/pallas_conv.py); 'pallas' / 'xla' force.
+    stem_impl: str = "auto"
 
 
 def _bshape(x, ndim):
@@ -138,12 +141,13 @@ def forward(params, imgs, proj_matrices, depth_values,
     with scope(ctx, "feature"), nn.stat_groups(ctx, V):
         feats = blocks.feature_net(
             par.constrain_view_batch(imgs.reshape(B * V, H, W, 3)),
-            params["feature"], ctx)
+            params["feature"], ctx, stem_impl=cfg.stem_impl)
     feats = {k: par.constrain_view_batch(v).reshape(B, V, *v.shape[1:])
              for k, v in feats.items()}
 
     with scope(ctx, "cnet_depth"):
-        cnet = blocks.feature_net(imgs[:, 0], params["cnet_depth"], ctx)
+        cnet = blocks.feature_net(imgs[:, 0], params["cnet_depth"], ctx,
+                                  stem_impl=cfg.stem_impl)
 
     hiddens, contexts = [], []
     for s in range(cfg.num_stage):

@@ -58,6 +58,7 @@ TILE_ROWS = 8
 TILE_COLS = 128
 REGION_ROWS = 24           # TILE_ROWS + vertical margin + alignment slack
 REGION_COLS = 384          # TILE_COLS + horizontal margin + lane alignment
+PATCH_ENABLED = True       # rung-2 sparse overflow patch (debug kill-switch)
 ALIGN_X = 128              # lane tiling of the packed source rows
 ALIGN_Y = 8                # sublane granule: oy*C must be a multiple of 8
 
@@ -180,6 +181,20 @@ def _support_fits_traced(px, py, H, W, Hs, Ws, C,
     off in-image taps.  `depth_chunk` must equal the kernel's plane
     fusion factor — a chunk shares one origin (the min over its planes).
     """
+    return jnp.all(_support_fit_mask(
+        px, py, H, W, Hs, Ws, C, tile_rows, tile_cols, region_rows,
+        region_cols, depth_chunk))
+
+
+def _support_fit_mask(px, py, H, W, Hs, Ws, C,
+                      tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
+                      region_rows=REGION_ROWS, region_cols=REGION_COLS,
+                      depth_chunk=1):
+    """Unreduced form of `_support_fits_traced`: per-(sample-chunk, tile)
+    fit booleans — (BV, Dc, T) when chunked, (BV*D, T) otherwise.  The
+    per-tile granularity feeds the sparse overflow patch
+    (`_patch_overflow_tiles`): one wild tile no longer demotes the whole
+    launch to the XLA gather path."""
     BV, D = px.shape[:2]
     pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
@@ -198,12 +213,13 @@ def _support_fits_traced(px, py, H, W, Hs, Ws, C,
     row = jnp.where((pyf > -1.0) & (pyf < H),
                     jnp.clip(jnp.floor(pyf).astype(jnp.int32) + 1, 0, H - 1),
                     0).max(axis=-1)
-    return jnp.all((col <= ox + region_cols - 1)
-                   & (row <= oy + region_rows - 1))
+    return ((col <= ox + region_cols - 1)
+            & (row <= oy + region_rows - 1))
 
 
 def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
-                 px=None, py=None, region_rows=REGION_ROWS):
+                 px=None, py=None, region_rows=REGION_ROWS,
+                 per_tile=False):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
@@ -211,7 +227,8 @@ def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
     the forward kernel makes FOR THE GIVEN region_rows (chunk-fits implies
     per-plane-fits, so this predicate is also valid for the per-plane
     backward kernel).  Pass px/py to reuse an already-computed projection
-    field."""
+    field.  With ``per_tile=True`` returns the (B*V, T) per-tile fit flags
+    instead of the global bool (the sparse-patch dispatch granularity)."""
     D = depth.shape[1]
     if px is None or py is None:
         px, py = _project_views(rots, transs, depth, H, W)
@@ -220,10 +237,14 @@ def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
     if depth_chunk is None:
         depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS,
                                         region_rows=region_rows)
-    return _support_fits_traced(
+    mask = _support_fit_mask(
         px, py, H, W, H, Wa, C,
         region_rows=region_rows, region_cols=min(REGION_COLS, Wa),
         depth_chunk=depth_chunk)
+    if not per_tile:
+        return jnp.all(mask)
+    BV = px.shape[0]
+    return mask.reshape(BV, -1, mask.shape[-1]).all(axis=1)   # (BV, T)
 
 
 def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
@@ -762,33 +783,125 @@ def _views_xla(ref_fea, src_feas, rots, transs, depth, groups):
          for v in range(V)], axis=1)
 
 
+def _patch_overflow_tiles(out, ref_fea, src_feas, px, py, flags, capacity,
+                          tile_rows=TILE_ROWS, tile_cols=TILE_COLS):
+    """Recompute up to ``capacity`` non-fitting (view, tile)s with the
+    exact 4-tap gather math and scatter the results over the kernel's
+    (tap-dropped) values.
+
+    The region kernel zeroes taps outside its static region, so a tile
+    whose projected support overflows (a depth edge at metric scale, a
+    wild refined hypothesis) computes a wrong correlation THERE and only
+    there.  Instead of demoting the whole launch to the XLA gather path
+    (60 ms/view at the T&T stage-3 shape vs ~2 ms pallas), this recomputes
+    just the flagged tiles: gather cost scales with `capacity`, shapes
+    stay static, and `lax.top_k` picks the flagged (view, tile)s.
+
+    out: (B, V, D, H, W) kernel output; px/py: (B*V, D, H, W) projection
+    field (shared with the kernel); flags: (B*V, T) True = tile fits.
+    """
+    B, H, W, C = ref_fea.shape
+    V = src_feas.shape[1]
+    BV, D = px.shape[:2]
+    P = tile_rows * tile_cols
+    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    Hp, Wp = pxp.shape[1], pxp.shape[2]
+    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(BV, D, -1, P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(BV, D, -1, P)
+    T = pxf.shape[2]
+
+    _, sel = lax.top_k((~flags).astype(jnp.int32).reshape(-1), capacity)
+    bv = sel // T
+    t = sel % T
+    px_sel = pxf[bv, :, t]                               # (K, D, P)
+    py_sel = pyf[bv, :, t]
+    x0f = jnp.floor(px_sel)
+    y0f = jnp.floor(py_sel)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    dtp = src_feas.dtype
+    wx = (px_sel - x0f).astype(dtp)[..., None]
+    wy = (py_sel - y0f).astype(dtp)[..., None]
+
+    src_flat = src_feas.reshape(BV * H * W, C)
+    base = (bv * (H * W))[:, None, None]
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.where(inb, base + yi * W + xi, 0)
+        v = jnp.take(src_flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (C,))
+        return jnp.where(inb[..., None], v, 0)
+
+    warped = (tap(x0, y0) * (1 - wx) * (1 - wy)
+              + tap(x0 + 1, y0) * wx * (1 - wy)
+              + tap(x0, y0 + 1) * (1 - wx) * wy
+              + tap(x0 + 1, y0 + 1) * wx * wy)           # (K, D, P, C)
+
+    refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
+    ref_tf = refp.reshape(B, Hp // tile_rows, tile_rows,
+                          Wp // tile_cols, tile_cols, C)
+    ref_tf = ref_tf.transpose(0, 1, 3, 2, 4, 5).reshape(B, T, P, C)
+    ref_sel = ref_tf[bv // V, t]                         # (K, P, C)
+    corr = jnp.mean(warped * ref_sel[:, None].astype(dtp), axis=-1)
+
+    outp = _pad_to(out.reshape(BV, D, H, W).astype(jnp.float32),
+                   {2: tile_rows, 3: tile_cols})
+    o = outp.reshape(BV, D, Hp // tile_rows, tile_rows,
+                     Wp // tile_cols, tile_cols)
+    o = o.transpose(0, 1, 2, 4, 3, 5).reshape(BV, D, T, P)
+    o = o.at[bv, :, t].set(corr.astype(jnp.float32))
+    o = o.reshape(BV, D, Hp // tile_rows, Wp // tile_cols, tile_rows,
+                  tile_cols).transpose(0, 1, 2, 4, 3, 5)
+    o = o.reshape(BV, D, Hp, Wp)[:, :, :H, :W]
+    return o.reshape(B, V, D, H, W)
+
+
 def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                     interpret):
     B, H, W, C = ref_fea.shape
     D = depth.shape[1]
     if not _supported(H, W, C, D, groups):
         return _views_xla(ref_fea, src_feas, rots, transs, depth, groups)
-    # geometry-safety dispatch, now a 3-rung ladder (round-3 sweep,
-    # BASELINE.md): the 16-row region cuts the kernel's matmul FLOPs
-    # (QrC 24C -> 16C) for a measured 1.4x at every stage, so try it
-    # first; plane sweeps whose vertical support overflows 16 rows take
-    # the 24-row kernel, and cameras wilder than both margins take the
-    # exact XLA gather path.  All rungs compile once; one executes per
-    # batch.  The projection field is computed ONCE and shared by the
-    # predicates and the kernel wrappers.
+    # geometry-safety dispatch, a 4-rung ladder (round-3, BASELINE.md):
+    # the 16-row region cuts the kernel's matmul FLOPs (QrC 24C -> 16C)
+    # for a measured 1.4x at every stage, so try it first; sweeps whose
+    # vertical support overflows 16 rows take the 24-row kernel; launches
+    # where only a bounded MINORITY of (view, tile)s overflow 24 rows run
+    # the 24-row kernel and sparse-patch just those tiles with the exact
+    # gather math (one depth-edge tile no longer demotes the whole launch
+    # — at T&T metric scale that demotion cost ~60 ms/view); only
+    # geometry wilder than that takes the full XLA path.  All rungs
+    # compile once; one executes per batch.  The projection field is
+    # computed ONCE and shared by predicates, kernels and the patch.
     px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
     fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
                           region_rows=16)
-    fits24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
-    rung = jnp.where(fits16, 0, jnp.where(fits24, 1, 2))
+    flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                           per_tile=True)                 # (B*V, T)
+    fits24 = jnp.all(flags24)
+    n_bad = jnp.sum(~flags24)
+    capacity = int(min(flags24.size, max(8, flags24.size // 8)))
+    patch_ok = n_bad <= capacity if PATCH_ENABLED else False
+    rung = jnp.where(fits16, 0,
+                     jnp.where(fits24, 1,
+                               jnp.where(patch_ok, 2, 3)))
+
+    def _rows24():
+        return _plane_sweep_correlate_views(
+            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            interpret=interpret, px=px, py=py)
+
     return lax.switch(rung, [
         lambda: _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
             region_rows=16, interpret=interpret, px=px,
             py=py).astype(ref_fea.dtype),
-        lambda: _plane_sweep_correlate_views(
-            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            interpret=interpret, px=px, py=py).astype(ref_fea.dtype),
+        lambda: _rows24().astype(ref_fea.dtype),
+        lambda: _patch_overflow_tiles(
+            _rows24(), ref_fea, src_feas, px, py, flags24,
+            capacity).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
                            groups).astype(ref_fea.dtype)])
 

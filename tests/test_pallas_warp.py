@@ -232,3 +232,44 @@ def test_support_fits_accepts_calibrated_rig():
         np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
         (1, D, H, W)).copy())
     assert bool(pw.support_fits(rot[None], tr[None], depth, H, W, C))
+
+
+def test_sparse_overflow_patch():
+    """A minority of depth-edge tiles overflowing the 24-row region must
+    NOT demote the launch to the XLA path: the 4-rung ladder runs the
+    kernel and sparse-patches exactly those tiles (rung 2); a flood of
+    overflow tiles beyond the patch capacity falls back fully (rung 3).
+    Both must match the exact gather math."""
+    rng = np.random.default_rng(0)
+    B, V, H, W, C, D = 1, 2, 128, 128, 8, 8
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((B, V, H, W, C)), jnp.float32)
+    rots = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, V, 3, 3))
+    trs = jnp.asarray(np.array([[[0, 12.0, 0], [0, 15.0, 0]]], np.float32))
+
+    # one tile band alternates 0.35/3.0 per column -> its vertical support
+    # spans ~30 rows (in-image), overflowing both region rungs there
+    base = np.full((H, W), 1.0, np.float32)
+    base[48:56, :] = np.where((np.arange(W) % 2)[None, :] == 0, 0.35, 3.0)
+    depth = jnp.asarray(np.broadcast_to(base, (B, D, H, W)).copy())
+
+    flags = pw.support_fits(rots, trs, depth, H, W, C, per_tile=True)
+    n_bad = int(jnp.sum(~flags))
+    assert 0 < n_bad <= max(8, flags.size // 8)
+    assert not bool(pw.support_fits(rots, trs, depth, H, W, C))
+
+    got = np.asarray(pw.warp_correlate_views_fused(ref, srcs, rots, trs,
+                                                   depth, 1, True))
+    want = np.asarray(pw._views_xla(ref, srcs, rots, trs, depth, 1))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+    # flood: most tiles overflow -> beyond capacity -> full XLA fallback
+    base2 = np.where((np.arange(W) % 2)[None, :] == 0, 0.35, 3.0)
+    depth2 = jnp.asarray(np.broadcast_to(
+        base2[None], (B, D, H, W)).astype(np.float32).copy())
+    flags2 = pw.support_fits(rots, trs, depth2, H, W, C, per_tile=True)
+    assert int(jnp.sum(~flags2)) > max(8, flags2.size // 8)
+    got2 = np.asarray(pw.warp_correlate_views_fused(ref, srcs, rots, trs,
+                                                    depth2, 1, True))
+    want2 = np.asarray(pw._views_xla(ref, srcs, rots, trs, depth2, 1))
+    np.testing.assert_allclose(got2, want2, atol=5e-4)
