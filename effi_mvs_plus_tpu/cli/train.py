@@ -56,9 +56,12 @@ def build_parser(profile_name="dtu_train"):
     p.add_argument("--seed", type=int)
     p.add_argument("--num_workers", type=int)
     p.add_argument("--crop_wh", default=None,
-                   help="DTU-family rectified-crop size 'W,H' (default the"
-                        " reference's 640,512) — smaller crops for"
-                        " memory-limited chips")
+                   help="DTU-family crop size 'W,H' (default the reference's"
+                        " 640,512). Smaller values centre-crop the rectified"
+                        " images AND shift the cam intrinsics' principal"
+                        " point to match (datasets.DTUTrainDataset.camera);"
+                        " GT pyramids crop consistently — valid on real DTU"
+                        " data as well as crop-sized synthetic trees")
     p.add_argument("--device_cache", action="store_true",
                    help="upload the distinct dataset views to HBM once and"
                         " assemble batches on device (data/device_cache.py)"

@@ -96,6 +96,75 @@ class DTUTrainDataset:
     def __len__(self):
         return len(self.metas)
 
+    # ---- path builders + load recipes: the single source of truth ----
+    # (device_cache.DeviceCacheLoader assembles batches from these same
+    # methods, so cached and streamed batches cannot desynchronise.)
+
+    def image_path(self, scan, light, vid):
+        return os.path.join(
+            self.datapath,
+            f"Rectified/{scan}_train/rect_{vid + 1:03d}_{light}_r5000.png")
+
+    def cam_path(self, vid):
+        return os.path.join(self.datapath, f"Cameras/train/{vid:08d}_cam.txt")
+
+    def mask_path(self, scan, vid):
+        return os.path.join(self.datapath,
+                            f"Depths_raw/{scan}/depth_visual_{vid:04d}.png")
+
+    def depth_path(self, scan, vid):
+        return os.path.join(self.datapath,
+                            f"Depths_raw/{scan}/depth_map_{vid:04d}.pfm")
+
+    def _crop_offset(self, hw):
+        """Centre-crop offset (sh, sw) taking an (h, w) image to crop_wh.
+        Zero when the image is already crop-sized (the reference's 640x512
+        rectified crops, or a tree rendered at crop_wh)."""
+        h, w = hw
+        tw, th = self.crop_wh
+        if (w, h) == (tw, th):
+            return 0, 0
+        if w < tw or h < th:
+            raise ValueError(
+                f"images are {w}x{h} but crop_wh={self.crop_wh} — the crop "
+                "must not exceed the image")
+        return (h - th) // 2, (w - tw) // 2
+
+    def crop_image(self, img):
+        """Centre-crop an (H, W[, C]) image to crop_wh (no-op if sized)."""
+        sh, sw = self._crop_offset(img.shape[:2])
+        tw, th = self.crop_wh
+        return img[sh:sh + th, sw:sw + tw]
+
+    def camera(self, vid, image_hw):
+        """Cam file -> (extrinsics, intrinsics, depth_min) with the
+        principal point shifted for the centre crop applied to an image
+        of native size image_hw (identity for crop-sized images).  DTU
+        cam files carry QUARTER-resolution intrinsics (dtu_yao.py:57-68),
+        so the full-res pixel offset is divided by 4."""
+        cam = camio.read_cam_file(self.cam_path(vid))
+        intr = cam["intrinsics"]
+        sh, sw = self._crop_offset(image_hw)
+        if sh or sw:
+            intr = intr.copy()
+            intr[0, 2] -= sw / 4.0
+            intr[1, 2] -= sh / 4.0
+        return cam["extrinsics"], intr, cam["depth_fields"][0]
+
+    def depth_values_of(self, depth_min):
+        return camio.inverse_depth_values(
+            depth_min, 2.5 * self.interval_scale, self.ndepths,
+            self.disp_max_first)
+
+    def load_gt_pyramids(self, scan, vid):
+        """(depth_ms, mask_ms) stage1..4 pyramids: raw GT half-scaled then
+        centre-cropped to crop_wh (dtu_yao.py:93-125; >10/255 mask rule)."""
+        mask_hr = (np.array(_imread(self.mask_path(scan, vid)) * 255.0)
+                   > 10).astype(np.float32)
+        depth_hr = read_pfm(self.depth_path(scan, vid))[0]
+        return (_gt_pyramid(self._prepare_hr(depth_hr)),
+                _gt_pyramid(self._prepare_hr(mask_hr)))
+
     def _prepare_hr(self, hr):
         h, w = hr.shape
         ds = _resize(hr, (w // 2, h // 2), nearest=True)
@@ -115,29 +184,15 @@ class DTUTrainDataset:
         imgs, projs = [], []
         depth_values = depth_ms = mask_ms = None
         for i, vid in enumerate(view_ids):
-            img = _imread(os.path.join(
-                self.datapath,
-                f"Rectified/{scan}_train/rect_{vid + 1:03d}_{light}_r5000.png"))
-            cam = camio.read_cam_file(os.path.join(
-                self.datapath, f"Cameras/train/{vid:08d}_cam.txt"))
-            projs.append(camio.stage_proj_matrices(cam["extrinsics"],
-                                                   cam["intrinsics"]))
+            img = _imread(self.image_path(scan, light, vid))
+            native_hw = img.shape[:2]
+            img = self.crop_image(img)
+            ext, intr, depth_min = self.camera(vid, native_hw)
+            projs.append(camio.stage_proj_matrices(ext, intr))
             imgs.append(img)
             if i == 0:
-                depth_min = cam["depth_fields"][0]
-                interval = 2.5 * self.interval_scale
-                depth_values = camio.inverse_depth_values(
-                    depth_min, interval, self.ndepths, self.disp_max_first)
-                mask_hr = (np.array(
-                    _imread(os.path.join(
-                        self.datapath,
-                        f"Depths_raw/{scan}/depth_visual_{vid:04d}.png"))
-                    * 255.0) > 10).astype(np.float32)
-                depth_hr = read_pfm(os.path.join(
-                    self.datapath,
-                    f"Depths_raw/{scan}/depth_map_{vid:04d}.pfm"))[0]
-                mask_ms = _gt_pyramid(self._prepare_hr(mask_hr))
-                depth_ms = _gt_pyramid(self._prepare_hr(depth_hr))
+                depth_values = self.depth_values_of(depth_min)
+                depth_ms, mask_ms = self.load_gt_pyramids(scan, vid)
 
         return {
             "imgs": np.stack(imgs).astype(np.float32),

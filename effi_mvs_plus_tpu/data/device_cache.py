@@ -37,7 +37,6 @@ class DeviceCacheLoader:
         import jax.numpy as jnp
         from PIL import Image
         from effi_mvs_plus_tpu.data import cams as camio
-        from effi_mvs_plus_tpu.data.datasets import _gt_pyramid, _imread
         import os
 
         self.dataset = dataset
@@ -54,15 +53,16 @@ class DeviceCacheLoader:
             for vid in [ref] + list(srcs):
                 k = (scan, light, vid)
                 if k not in img_keys:
-                    rp = os.path.realpath(self._img_path_of(
-                        dataset, scan, light, vid))
+                    rp = os.path.realpath(dataset.image_path(scan, light, vid))
                     img_keys[k] = path_rows.setdefault(rp, len(path_rows))
             gt_keys.setdefault((scan, ref), len(gt_keys))
         self._img_keys, self._gt_keys = img_keys, gt_keys
         self._path_rows = path_rows
 
-        # size check before any upload
-        probe = np.asarray(Image.open(next(iter(path_rows))))
+        # size check before any upload (rows hold the CROPPED images)
+        native = np.asarray(Image.open(next(iter(path_rows))))
+        native_hw = native.shape[:2]
+        probe = dataset.crop_image(native)
         est = (len(path_rows) * probe.nbytes
                + len(gt_keys) * probe.shape[0] * probe.shape[1] * 4 * 2
                * 1.33)
@@ -74,20 +74,11 @@ class DeviceCacheLoader:
 
         imgs = np.zeros((len(path_rows),) + probe.shape, np.uint8)
         for rp, row in path_rows.items():
-            imgs[row] = np.asarray(Image.open(rp))
+            imgs[row] = dataset.crop_image(np.asarray(Image.open(rp)))
 
         depth, mask = None, None
         for (scan, vid), row in gt_keys.items():
-            from effi_mvs_plus_tpu.data.pfm import read_pfm
-            mask_hr = (np.array(_imread(os.path.join(
-                dataset.datapath,
-                f"Depths_raw/{scan}/depth_visual_{vid:04d}.png"))
-                * 255.0) > 10).astype(np.float32)
-            depth_hr = read_pfm(os.path.join(
-                dataset.datapath,
-                f"Depths_raw/{scan}/depth_map_{vid:04d}.pfm"))[0]
-            d_ms = _gt_pyramid(dataset._prepare_hr(depth_hr))
-            m_ms = _gt_pyramid(dataset._prepare_hr(mask_hr))
+            d_ms, m_ms = dataset.load_gt_pyramids(scan, vid)
             if depth is None:
                 depth = {k: np.zeros((len(gt_keys),) + v.shape, np.float32)
                          for k, v in d_ms.items()}
@@ -101,15 +92,11 @@ class DeviceCacheLoader:
         self._vid_row = {v: i for i, v in enumerate(vids)}
         projs, dvals = {}, []
         for vid in vids:
-            cam = camio.read_cam_file(os.path.join(
-                dataset.datapath, f"Cameras/train/{vid:08d}_cam.txt"))
-            ps = camio.stage_proj_matrices(cam["extrinsics"],
-                                           cam["intrinsics"])
+            ext, intr, depth_min = dataset.camera(vid, native_hw)
+            ps = camio.stage_proj_matrices(ext, intr)
             for k, v in ps.items():
                 projs.setdefault(k, []).append(v)
-            dvals.append(camio.inverse_depth_values(
-                cam["depth_fields"][0], 2.5 * dataset.interval_scale,
-                dataset.ndepths, dataset.disp_max_first))
+            dvals.append(dataset.depth_values_of(depth_min))
 
         self._arrs = {
             "imgs": jnp.asarray(imgs),

@@ -44,6 +44,11 @@ def feature_net(x, p, ctx=None, stem_impl="auto"):
     its conv0 fusion context) — BASELINE.md round-3 burndown.  'auto'
     therefore keeps XLA; force 'pallas' to re-evaluate.
     """
+    # The fused chain folds RUNNING-stat BN and collects no batch stats,
+    # so it is inference-only; a training ctx must fail loudly rather
+    # than silently corrupt BN semantics (ADVICE r3).
+    assert not (stem_impl == "pallas" and ctx is not None), \
+        "stem_impl='pallas' folds running-stat BN — inference only (ctx=None)"
     use_fused = stem_impl == "pallas"
 
     def seq(x, name, specs):
@@ -62,7 +67,8 @@ def feature_net(x, p, ctx=None, stem_impl="auto"):
                     chain.append(pcv.fold_bn(b["conv"]["weight"], b["bn"],
                                              conv_bias=b["conv"].get("bias")))
                     j += 1
-                if pcv.chain_fits(x.shape, [w.shape[3] for w, _ in chain]):
+                if pcv.chain_fits(x.shape, [w.shape[3] for w, _ in chain],
+                                  x.dtype):
                     # forced 'pallas' off-TPU (tests) runs interpreted
                     x = pcv.conv_bn_relu_chain(
                         x, chain,

@@ -196,13 +196,16 @@ def _fwd(x, specs, interpret=False):
     return out[:, :H, 1:1 + W, :]
 
 
-def chain_fits(x_shape, specs_chans):
-    """True iff the fused chain supports this shape (VMEM + sublanes)."""
+def chain_fits(x_shape, specs_chans, dtype=jnp.bfloat16):
+    """True iff the fused chain supports this shape (VMEM + sublanes).
+    dtype must match the input's — _fwd sizes scratch with it, so a
+    shape that fits at bf16 may not fit at f32."""
     B, H, W, C0 = x_shape
     chans = [_round_up(C0, 8)] + list(specs_chans)
     if any(c % 8 for c in chans[1:]):
         return False
-    return _auto_th(_round_up(W + 2, 128), chans, 2) is not None
+    esz = jnp.dtype(dtype).itemsize
+    return _auto_th(_round_up(W + 2, 128), chans, esz) is not None
 
 
 def conv_bn_relu_chain(x, specs, interpret=False):

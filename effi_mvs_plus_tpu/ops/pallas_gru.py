@@ -228,14 +228,17 @@ def _gru_fused_bwd(interpret, res, g):
 _gru_fused.defvjp(_gru_fused_fwd, _gru_fused_bwd)
 
 
-def gru_fits(h_shape, x_dim):
+def gru_fits(h_shape, x_dim, dtype=jnp.bfloat16):
     """True iff the fused kernel supports this shape (VMEM + sublane
-    alignment).  Host-side diagnostic mirroring the dispatch test."""
+    alignment).  Host-side diagnostic mirroring the dispatch test; the
+    dtype must match the actual input dtype — _fwd_pallas sizes its VMEM
+    scratch with it, so a shape that fits at bf16 may not fit at f32."""
     B, H, W, hd = h_shape
     C1 = hd + x_dim
     if hd % 8 or C1 % 8:
         return False
-    return _auto_th(_round_up(W + 2, 128), C1, hd, 2) is not None
+    esz = jnp.dtype(dtype).itemsize
+    return _auto_th(_round_up(W + 2, 128), C1, hd, esz) is not None
 
 
 def gru_step(h, x, p, impl="auto", interpret=False):
@@ -249,9 +252,9 @@ def gru_step(h, x, p, impl="auto", interpret=False):
             p["convq"]["bias"])
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
-                and gru_fits(h.shape, x.shape[-1]) else "xla")
+                and gru_fits(h.shape, x.shape[-1], h.dtype) else "xla")
     if impl == "pallas":
-        if not gru_fits(h.shape, x.shape[-1]):
+        if not gru_fits(h.shape, x.shape[-1], h.dtype):
             raise ValueError(f"fused GRU unsupported for {h.shape}")
         return _gru_fused(*args, interpret)
     return _gru_xla(*args)
