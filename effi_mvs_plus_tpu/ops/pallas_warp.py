@@ -123,19 +123,36 @@ def _chunk_planes(x, BV, D, DB):
              .reshape(BV, Dc, T, DB * P))
 
 
-def _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C):
+def _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C,
+               H_img=None, W_img=None):
     """Aligned region origins anchored at each (depth, tile)'s projected
     support minimum (so the alignment round-down only ADDS coverage),
     clamped to keep the static-size region inside the image.
 
+    The minimum is taken over CONTRIBUTING samples only: a sample fully
+    outside the image reads grid_sample zeros whether or not the region
+    covers it, so it must not drag the anchor away from the in-image
+    support (border tiles of wide-FOV scenes would otherwise overflow and
+    demote the launch — measured 160 ms/step of patch gathers at the T&T
+    point, round 4).  The kernel and the fit predicate share this anchor,
+    so dropping those samples stays exactly grid_sample-correct.  NaNs in
+    px/py (guarded upstream like the reference module.py:331) fail the
+    validity compare and are likewise ignored.
+
     px, py: (..., T, P) tile-flat coords.  Returns (ox, oy) int32 with the
     trailing P axis reduced away.
     """
-    mx = jnp.clip(px, -1e6, 1e6).min(axis=-1)
-    my = jnp.clip(py, -1e6, 1e6).min(axis=-1)
-    ox = jnp.clip(jnp.floor(mx).astype(jnp.int32) - 2,
+    if H_img is None:
+        H_img = Hs
+    if W_img is None:
+        W_img = Ws
+    valid = (px > -1.0) & (px < W_img) & (py > -1.0) & (py < H_img)
+    big = jnp.asarray(1e6, px.dtype)
+    mx = jnp.where(valid, px, big).min(axis=-1)
+    my = jnp.where(valid, py, big).min(axis=-1)
+    ox = jnp.clip(jnp.floor(jnp.clip(mx, -big, big)).astype(jnp.int32) - 2,
                   0, max(Ws - region_cols, 0))
-    oy = jnp.clip(jnp.floor(my).astype(jnp.int32) - 2,
+    oy = jnp.clip(jnp.floor(jnp.clip(my, -big, big)).astype(jnp.int32) - 2,
                   0, max(Hs - region_rows, 0))
     ox = _align_down(ox, ALIGN_X)
     align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
@@ -144,14 +161,15 @@ def _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C):
 
 
 def _compute_origins(px, py, Hs, Ws, region_rows, region_cols, C,
-                     view_ids=None):
+                     view_ids=None, H_img=None, W_img=None):
     """Origins packed ((v*1024 + oy) << 16 | ox) so equal-origin steps of
     DIFFERENT views never compare equal in the DMA-skip check.
 
     view_ids broadcastable to the leading dims (0 when absent).
     Returns flat int32.
     """
-    ox, oy = _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C)
+    ox, oy = _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C,
+                        H_img=H_img, W_img=W_img)
     # the tag only has to CHANGE between grid-adjacent steps of different
     # (batch, view) slices — mod 16 keeps the packed value inside int32
     tag = 0 if view_ids is None else view_ids % 16
@@ -205,7 +223,8 @@ def _support_fit_mask(px, py, H, W, Hs, Ws, C,
         # below then aggregate over a whole chunk, matching the kernel
         pxf = _chunk_planes(pxf, BV, D, depth_chunk)
         pyf = _chunk_planes(pyf, BV, D, depth_chunk)
-    ox, oy = _origin_xy(pxf, pyf, Hs, Ws, region_rows, region_cols, C)
+    ox, oy = _origin_xy(pxf, pyf, Hs, Ws, region_rows, region_cols, C,
+                        H_img=H, W_img=W)
     # rightmost in-image tap column/row each sample needs covered
     col = jnp.where((pxf > -1.0) & (pxf < W),
                     jnp.clip(jnp.floor(pxf).astype(jnp.int32) + 1, 0, W - 1),
@@ -426,7 +445,7 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
         pxf[..., 0, :].transpose(0, 2, 1, 3),           # (BV, T, Dc, PP)
         pyf[..., 0, :].transpose(0, 2, 1, 3),
         H, Wa, region_rows, region_cols, C,
-        view_ids=jnp.broadcast_to(tags, (BV, T, Dc)))
+        view_ids=jnp.broadcast_to(tags, (BV, T, Dc)), H_img=H, W_img=W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -698,7 +717,8 @@ def _plane_sweep_correlate_views_bwd(ref_fea, src_feas, rots, transs,
     origins = _compute_origins(
         pxf[..., 0, :], pyf[..., 0, :],                 # (B,T,V,D,P)
         H, Wa, region_rows, region_cols, C,
-        view_ids=jnp.broadcast_to(tags[:, None, :, None], (B, T, V, D)))
+        view_ids=jnp.broadcast_to(tags[:, None, :, None], (B, T, V, D)),
+        H_img=H, W_img=W)
 
     dsrc_zeros = jnp.zeros((BV, H * C, Wa), jnp.float32)
 
@@ -783,6 +803,82 @@ def _views_xla(ref_fea, src_feas, rots, transs, depth, groups):
          for v in range(V)], axis=1)
 
 
+def _patch_capacities(n_tiles):
+    """(small, big) patch capacities for a launch with n_tiles (view,
+    tile)s.  Small covers the common case (a few depth-edge tiles per
+    scene — ~1.5% budget) at ~1/8 the gather cost of big (12.5%), which
+    remains the last rung before full XLA demotion."""
+    return (int(min(n_tiles, max(8, n_tiles // 64))),
+            int(min(n_tiles, max(8, n_tiles // 8))))
+
+
+def _tile_select(px, py, flags, capacity, H, W,
+                 tile_rows=TILE_ROWS, tile_cols=TILE_COLS):
+    """Pick up to ``capacity`` flagged (view, tile)s via lax.top_k.
+
+    Returns (bv, t, px_sel, py_sel, T): selected batch*view / tile
+    indices and their (K, D, P) projection fields.  When fewer than
+    ``capacity`` tiles are flagged the surplus selections land on
+    FITTING tiles — harmless for the forward (exact == kernel there)
+    but the backward must mask their cotangents (see _views_bwd).
+    """
+    BV, D = px.shape[:2]
+    P = tile_rows * tile_cols
+    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
+    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(BV, D, -1, P)
+    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(BV, D, -1, P)
+    T = pxf.shape[2]
+    _, sel = lax.top_k((~flags).astype(jnp.int32).reshape(-1), capacity)
+    bv = sel // T
+    t = sel % T
+    return bv, t, pxf[bv, :, t], pyf[bv, :, t], T
+
+
+def _exact_tiles_corr(ref_fea, src_feas, px_sel, py_sel, bv, t,
+                      tile_rows=TILE_ROWS, tile_cols=TILE_COLS):
+    """Exact 4-tap correlations for selected tiles: (K, D, P).
+
+    Pure and differentiable in (ref_fea, src_feas) — the backward patch
+    rung takes jax.vjp through this same function, so forward values and
+    gradients agree by construction.
+    """
+    B, H, W, C = ref_fea.shape
+    V = src_feas.shape[1]
+    x0f = jnp.floor(px_sel)
+    y0f = jnp.floor(py_sel)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    dtp = src_feas.dtype
+    wx = (px_sel - x0f).astype(dtp)[..., None]
+    wy = (py_sel - y0f).astype(dtp)[..., None]
+
+    src_flat = src_feas.reshape(B * V * H * W, C)
+    base = (bv * (H * W))[:, None, None]
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.where(inb, base + yi * W + xi, 0)
+        v = jnp.take(src_flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (C,))
+        return jnp.where(inb[..., None], v, 0)
+
+    warped = (tap(x0, y0) * (1 - wx) * (1 - wy)
+              + tap(x0 + 1, y0) * wx * (1 - wy)
+              + tap(x0, y0 + 1) * (1 - wx) * wy
+              + tap(x0 + 1, y0 + 1) * wx * wy)           # (K, D, P, C)
+
+    refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
+    Hp, Wp = refp.shape[1], refp.shape[2]
+    Tq = (Hp // tile_rows) * (Wp // tile_cols)
+    P = tile_rows * tile_cols
+    ref_tf = refp.reshape(B, Hp // tile_rows, tile_rows,
+                          Wp // tile_cols, tile_cols, C)
+    ref_tf = ref_tf.transpose(0, 1, 3, 2, 4, 5).reshape(B, Tq, P, C)
+    ref_sel = ref_tf[bv // V, t]                         # (K, P, C)
+    return jnp.mean(warped * ref_sel[:, None].astype(dtp), axis=-1)
+
+
 def _patch_overflow_tiles(out, ref_fea, src_feas, px, py, flags, capacity,
                           tile_rows=TILE_ROWS, tile_cols=TILE_COLS):
     """Recompute up to ``capacity`` non-fitting (view, tile)s with the
@@ -803,54 +899,18 @@ def _patch_overflow_tiles(out, ref_fea, src_feas, px, py, flags, capacity,
     B, H, W, C = ref_fea.shape
     V = src_feas.shape[1]
     BV, D = px.shape[:2]
-    P = tile_rows * tile_cols
-    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
-    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
-    Hp, Wp = pxp.shape[1], pxp.shape[2]
-    pxf = _tile_flat(pxp, tile_rows, tile_cols).reshape(BV, D, -1, P)
-    pyf = _tile_flat(pyp, tile_rows, tile_cols).reshape(BV, D, -1, P)
-    T = pxf.shape[2]
-
-    _, sel = lax.top_k((~flags).astype(jnp.int32).reshape(-1), capacity)
-    bv = sel // T
-    t = sel % T
-    px_sel = pxf[bv, :, t]                               # (K, D, P)
-    py_sel = pyf[bv, :, t]
-    x0f = jnp.floor(px_sel)
-    y0f = jnp.floor(py_sel)
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    dtp = src_feas.dtype
-    wx = (px_sel - x0f).astype(dtp)[..., None]
-    wy = (py_sel - y0f).astype(dtp)[..., None]
-
-    src_flat = src_feas.reshape(BV * H * W, C)
-    base = (bv * (H * W))[:, None, None]
-
-    def tap(xi, yi):
-        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        idx = jnp.where(inb, base + yi * W + xi, 0)
-        v = jnp.take(src_flat, idx.reshape(-1), axis=0).reshape(
-            idx.shape + (C,))
-        return jnp.where(inb[..., None], v, 0)
-
-    warped = (tap(x0, y0) * (1 - wx) * (1 - wy)
-              + tap(x0 + 1, y0) * wx * (1 - wy)
-              + tap(x0, y0 + 1) * (1 - wx) * wy
-              + tap(x0 + 1, y0 + 1) * wx * wy)           # (K, D, P, C)
-
-    refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
-    ref_tf = refp.reshape(B, Hp // tile_rows, tile_rows,
-                          Wp // tile_cols, tile_cols, C)
-    ref_tf = ref_tf.transpose(0, 1, 3, 2, 4, 5).reshape(B, T, P, C)
-    ref_sel = ref_tf[bv // V, t]                         # (K, P, C)
-    corr = jnp.mean(warped * ref_sel[:, None].astype(dtp), axis=-1)
+    bv, t, px_sel, py_sel, T = _tile_select(px, py, flags, capacity, H, W,
+                                            tile_rows, tile_cols)
+    corr = _exact_tiles_corr(ref_fea, src_feas, px_sel, py_sel, bv, t,
+                             tile_rows, tile_cols)
 
     outp = _pad_to(out.reshape(BV, D, H, W).astype(jnp.float32),
                    {2: tile_rows, 3: tile_cols})
+    Hp, Wp = outp.shape[2], outp.shape[3]
     o = outp.reshape(BV, D, Hp // tile_rows, tile_rows,
                      Wp // tile_cols, tile_cols)
-    o = o.transpose(0, 1, 2, 4, 3, 5).reshape(BV, D, T, P)
+    o = o.transpose(0, 1, 2, 4, 3, 5).reshape(BV, D, T,
+                                              tile_rows * tile_cols)
     o = o.at[bv, :, t].set(corr.astype(jnp.float32))
     o = o.reshape(BV, D, Hp // tile_rows, Wp // tile_cols, tile_rows,
                   tile_cols).transpose(0, 1, 2, 4, 3, 5)
@@ -882,11 +942,16 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                            per_tile=True)                 # (B*V, T)
     fits24 = jnp.all(flags24)
     n_bad = jnp.sum(~flags24)
-    capacity = int(min(flags24.size, max(8, flags24.size // 8)))
-    patch_ok = n_bad <= capacity if PATCH_ENABLED else False
+    # two patch tiers: the gather cost is proportional to capacity, and
+    # real depth edges flag only a few tiles — pay the small tier for
+    # them, keep the big tier as the middle ground before full demotion
+    cap_small, cap_big = _patch_capacities(flags24.size)
+    patch_small = n_bad <= cap_small if PATCH_ENABLED else False
+    patch_big = n_bad <= cap_big if PATCH_ENABLED else False
     rung = jnp.where(fits16, 0,
                      jnp.where(fits24, 1,
-                               jnp.where(patch_ok, 2, 3)))
+                               jnp.where(patch_small, 2,
+                                         jnp.where(patch_big, 3, 4))))
 
     def _rows24():
         return _plane_sweep_correlate_views(
@@ -901,7 +966,10 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
         lambda: _rows24().astype(ref_fea.dtype),
         lambda: _patch_overflow_tiles(
             _rows24(), ref_fea, src_feas, px, py, flags24,
-            capacity).astype(ref_fea.dtype),
+            cap_small).astype(ref_fea.dtype),
+        lambda: _patch_overflow_tiles(
+            _rows24(), ref_fea, src_feas, px, py, flags24,
+            cap_big).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
                            groups).astype(ref_fea.dtype)])
 
@@ -927,16 +995,65 @@ def _views_bwd(groups, interpret, res, g):
     if _supported(H, W, C, D, groups):
         # pallas backward — the XLA gather/scatter fallback pads its
         # (...,2,2,C) blocks 64x on TPU and OOMs HBM at training shapes —
-        # under the same 3-rung geometry ladder as the forward (the bwd
+        # under the same 4-rung geometry ladder as the forward (the bwd
         # kernel is per-plane, and chunk-fits implies plane-fits, so the
         # forward predicates are valid here); one shared projection field
-        # for predicates + kernels
+        # for predicates + kernels.  Rung 2 mirrors the forward's sparse
+        # overflow patch (ADVICE r3): grads for the bounded minority of
+        # overflowing tiles go through jax.vjp of the SAME exact-gather
+        # function the forward patched with, the kernel sees their
+        # cotangent zeroed — so one wild tile no longer demotes the whole
+        # backward to the OOM-prone XLA path.
+        V = src_feas.shape[1]
         px, py = _project_views(rots, transs, depth.astype(jnp.float32),
                                 H, W)
         fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
                               region_rows=16)
-        fits24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py)
-        rung = jnp.where(fits16, 0, jnp.where(fits24, 1, 2))
+        flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                               per_tile=True)              # (B*V, T)
+        fits24 = jnp.all(flags24)
+        n_bad = jnp.sum(~flags24)
+        cap_small, cap_big = _patch_capacities(flags24.size)
+        patch_small = n_bad <= cap_small if PATCH_ENABLED else False
+        patch_big = n_bad <= cap_big if PATCH_ENABLED else False
+        rung = jnp.where(fits16, 0,
+                         jnp.where(fits24, 1,
+                                   jnp.where(patch_small, 2,
+                                             jnp.where(patch_big, 3, 4))))
+
+        def patched_grads(capacity):
+            P = TILE_ROWS * TILE_COLS
+            gf32 = g.astype(jnp.float32)
+            # per-pixel fit mask from the per-tile flags
+            Hp = -(-H // TILE_ROWS) * TILE_ROWS
+            Wp = -(-W // TILE_COLS) * TILE_COLS
+            Th, Tw = Hp // TILE_ROWS, Wp // TILE_COLS
+            m = flags24.reshape(B * V, Th, 1, Tw, 1)
+            m = jnp.broadcast_to(m, (B * V, Th, TILE_ROWS, Tw, TILE_COLS))
+            m = m.reshape(B * V, Hp, Wp)[:, :H, :W] \
+                .reshape(B, V, 1, H, W)
+            d_ref_k, d_src_k = _plane_sweep_correlate_views_bwd(
+                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                jnp.where(m, gf32, 0.0), interpret=interpret, px=px, py=py)
+            bv, t, px_sel, py_sel, T = _tile_select(
+                px, py, flags24, capacity, H, W)
+            gp = _pad_to(gf32.reshape(B * V * D, H, W),
+                         {1: TILE_ROWS, 2: TILE_COLS}, mode="constant")
+            gtf = _tile_flat(gp, TILE_ROWS, TILE_COLS).reshape(
+                B * V, D, T, P)
+            g_sel = gtf[bv, :, t]                          # (K, D, P)
+            # zero surplus selections that landed on fitting tiles (their
+            # gradient already went through the kernel)
+            sel_flagged = ~flags24.reshape(-1)[bv * T + t]
+            g_sel = jnp.where(sel_flagged[:, None, None], g_sel, 0.0)
+            corr, vjp = jax.vjp(
+                lambda rf, sf: _exact_tiles_corr(rf, sf, px_sel, py_sel,
+                                                 bv, t),
+                ref_fea, src_feas)
+            d_ref_p, d_src_p = vjp(g_sel.astype(corr.dtype))
+            return (d_ref_k + d_ref_p.astype(d_ref_k.dtype),
+                    d_src_k + d_src_p.astype(d_src_k.dtype))
+
         d_ref, d_src = lax.switch(rung, [
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
@@ -945,6 +1062,8 @@ def _views_bwd(groups, interpret, res, g):
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
                 g.astype(jnp.float32), interpret=interpret, px=px, py=py),
+            lambda: patched_grads(cap_small),
+            lambda: patched_grads(cap_big),
             xla_grads])
         return d_ref, d_src, None, None, None
     d_ref, d_src = xla_grads()

@@ -1,0 +1,78 @@
+"""Summarise a jax.profiler xplane trace: per-op total device time.
+
+The tensorboard profiler plugin in this image cannot parse xspaces
+(pywrap mismatch), so this decodes the .xplane.pb directly with a
+minimal mirror of the public xplane schema (scripts/xplane_proto/).
+
+Usage:
+  python scripts/xplane_summary.py <trace_dir_or_xplane.pb> [top_n]
+
+Prints one line per XLA op/fusion on the device plane(s), sorted by
+total self time, plus the plane totals — the TPU equivalent of the
+reference's chrome-trace profile dump (/root/reference/train.py:355-383).
+"""
+
+import collections
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from xplane_proto import xplane_pb2  # noqa: E402
+
+
+def load(path):
+    if os.path.isdir(path):
+        cands = glob.glob(os.path.join(path, "**/*.xplane.pb"),
+                          recursive=True)
+        assert cands, f"no .xplane.pb under {path}"
+        path = max(cands, key=os.path.getmtime)
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs, path
+
+
+def device_planes(xs):
+    for p in xs.planes:
+        n = p.name.lower()
+        if "tpu" in n or "/device" in n or "gpu" in n:
+            yield p
+
+
+def summarize(plane):
+    """{op_name: (total_ps, count)} over XLA-op lines of one plane."""
+    totals = collections.Counter()
+    counts = collections.Counter()
+    span = 0
+    for line in plane.lines:
+        # device planes carry one line per core with XLA ops; steps and
+        # derived lines (e.g. 'Steps', 'Framework') are skipped
+        lname = (line.display_name or line.name).lower()
+        if "step" in lname or "framework" in lname:
+            continue
+        for ev in line.events:
+            md = plane.event_metadata[ev.metadata_id]
+            name = md.display_name or md.name
+            totals[name] += ev.duration_ps
+            counts[name] += 1
+            span = max(span, ev.offset_ps + ev.duration_ps)
+    return totals, counts, span
+
+
+def main():
+    path = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    xs, used = load(path)
+    print(f"# {used}")
+    for plane in device_planes(xs):
+        totals, counts, span = summarize(plane)
+        total_ms = sum(totals.values()) / 1e9
+        print(f"\n== plane '{plane.name}': {len(totals)} distinct ops, "
+              f"busy {total_ms:.2f} ms ==")
+        for name, ps in totals.most_common(top_n):
+            print(f"{ps / 1e9:9.3f} ms  x{counts[name]:<4d} {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -273,3 +273,65 @@ def test_sparse_overflow_patch():
                                                     depth2, 1, True))
     want2 = np.asarray(pw._views_xla(ref, srcs, rots, trs, depth2, 1))
     np.testing.assert_allclose(got2, want2, atol=5e-4)
+
+
+def test_sparse_overflow_patch_gradients():
+    """Backward mirror of the sparse patch (ADVICE r3): with a minority of
+    overflowing tiles, grads must route through bwd-rung-2 (kernel grads
+    with overflow cotangents zeroed + exact-gather vjp for the flagged
+    tiles) and match the exact XLA gradients — not demote to the
+    OOM-prone full-XLA backward."""
+    rng = np.random.default_rng(3)
+    B, V, H, W, C, D = 1, 2, 128, 128, 8, 8
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((B, V, H, W, C)), jnp.float32)
+    rots = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, V, 3, 3))
+    trs = jnp.asarray(np.array([[[0, 12.0, 0], [0, 15.0, 0]]], np.float32))
+    base = np.full((H, W), 1.0, np.float32)
+    base[48:56, :] = np.where((np.arange(W) % 2)[None, :] == 0, 0.35, 3.0)
+    depth = jnp.asarray(np.broadcast_to(base, (B, D, H, W)).copy())
+
+    flags = pw.support_fits(rots, trs, depth, H, W, C, per_tile=True)
+    n_bad = int(jnp.sum(~flags))
+    assert 0 < n_bad <= max(8, flags.size // 8), "rig must hit rung 2"
+
+    gx = jax.grad(lambda a, b: jnp.sum(
+        pw._views_xla(a, b, rots, trs, depth, 1) ** 2),
+        argnums=(0, 1))(ref, srcs)
+    gp = jax.grad(lambda a, b: jnp.sum(
+        pw.warp_correlate_views_fused(a, b, rots, trs, depth, 1, True)
+        ** 2), argnums=(0, 1))(ref, srcs)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
+
+
+def test_border_out_of_image_does_not_demote():
+    """Samples projecting OUTSIDE the source image contribute zeros under
+    grid_sample zeros-padding whether or not the region covers them, so
+    they must not drag the region anchor (round-4 fix): a rig whose border
+    tiles project partly out of image must stay on the pallas rungs (all
+    tiles fit) and still match the exact gather path."""
+    rng = np.random.default_rng(5)
+    B, V, H, W, C, D = 1, 2, 64, 128, 8, 4
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((B, V, H, W, C)), jnp.float32)
+    rots = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, V, 3, 3))
+    # +x translation of ~40 px at depth 500: the right ~40 columns
+    # project past the source image edge
+    trs = jnp.asarray(np.array([[[40.0 * 500, 0, 0],
+                                 [46.0 * 500, 0, 0]]], np.float32))
+    depth = jnp.asarray(np.broadcast_to(
+        np.linspace(480, 520, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    px, py = pw._project_views(rots, trs, depth, H, W)
+    assert float(px.max()) > W + 1, "rig must project off-image"
+    flags = pw.support_fits(rots, trs, depth, H, W, C, per_tile=True,
+                            px=px, py=py)
+    assert bool(jnp.all(flags)), \
+        "out-of-image-only overflow must not flag tiles"
+
+    got = np.asarray(pw.warp_correlate_views_fused(ref, srcs, rots, trs,
+                                                   depth, 1, True))
+    want = np.asarray(pw._views_xla(ref, srcs, rots, trs, depth, 1))
+    np.testing.assert_allclose(got, want, atol=5e-4)
