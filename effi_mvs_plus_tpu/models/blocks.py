@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from effi_mvs_plus_tpu import nn
 from effi_mvs_plus_tpu.nn import scope
@@ -29,10 +30,33 @@ def _upsample_nearest2x(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
-def feature_net(x, p, ctx=None, stem_impl="auto"):
+# Per-level output pixel block for stem_impl='blocked' (H, W).  Levels
+# halve resolution and double channels, so blocks halve with them to keep
+# prod(block) * C_out around the MXU's 128 lanes.  Chosen by the on-chip
+# sweep (scripts/sweep_blocked_feature.py); overridable for re-sweeps.
+BLOCK_PLAN = {
+    "conv0": (4, 8),   # 8 ch  -> 256 blocked out channels
+    "conv1": (2, 4),   # 16 ch -> 128
+    "conv2": (2, 2),   # 32 ch -> 128
+    "conv3": (1, 2),   # 64 ch -> 128
+    "out2": (2, 2),    # FPN 3x3 head at 1/4 res
+    "out3": (2, 4),    # FPN 3x3 head at 1/2 res
+}
+
+
+def feature_net(x, p, ctx=None, stem_impl="auto", block_plan=None):
     """4-level conv pyramid + top-down FPN.  x: (B,H,W,3 or any C).
 
     Returns {'stage1': 1/8-res, 'stage2': 1/4-res, 'stage3': 1/2-res}.
+
+    stem_impl='blocked' (the 'auto' choice on TPU) runs each level in
+    space-to-depth blocked form (ops/blocked_conv.py): the level's pixel
+    block rides the channel axis so its 8-64-channel convs become
+    full-MXU-lane convs — prod(block) x the FLOPs at ~13x the lane
+    utilisation; exact up to float reassociation, in BOTH train and eval
+    (blocked BN reduces over block positions — bit-equal statistics).
+    A level falls back to plain XLA when its block does not divide the
+    level's output size (the blocked chain would tap pad-tail garbage).
 
     stem_impl='pallas' runs each level's stride-1 3x3 conv+BN+ReLU pair
     as ONE fused Pallas kernel with folded BN (ops/pallas_conv.py,
@@ -41,8 +65,7 @@ def feature_net(x, p, ctx=None, stem_impl="auto"):
     heads stay XLA so the net full-net win at T&T is only 81 vs 90 ms,
     and at the DTU bench shape the dispatch LOSES 26 ms/iter (extra
     NHWC<->channels-first transposes + RGB->8 channel pad, and XLA loses
-    its conv0 fusion context) — BASELINE.md round-3 burndown.  'auto'
-    therefore keeps XLA; force 'pallas' to re-evaluate.
+    its conv0 fusion context) — BASELINE.md round-3 burndown.
     """
     # The fused chain folds RUNNING-stat BN and collects no batch stats,
     # so it is inference-only; a training ctx must fail loudly rather
@@ -50,8 +73,50 @@ def feature_net(x, p, ctx=None, stem_impl="auto"):
     assert not (stem_impl == "pallas" and ctx is not None), \
         "stem_impl='pallas' folds running-stat BN — inference only (ctx=None)"
     use_fused = stem_impl == "pallas"
+    # 'auto' stays XLA: the on-chip sweep (scripts/sweep_blocked_feature.py,
+    # /tmp/sweep_blocked.log 2026-08-20) measured whole-level blocking at
+    # only 1.14x for T&T (78.3 -> 68.7 ms, heads plain) and 0.92x at the
+    # DTU bench shape — the per-level relayout (d2s/s2d of 300-500 MB
+    # activations) eats the conv win.  Force 'blocked' to re-evaluate.
+    if stem_impl == "auto":
+        stem_impl = "xla"
+    use_blocked = stem_impl == "blocked"
+    plan = dict(BLOCK_PLAN, **(block_plan or {}))
+
+    def seq_blocked(x, name, specs):
+        """Whole level in blocked space: one s2d, blocked convs (incl.
+        the stride-2 5x5), exact blocked BN, one d2s."""
+        from effi_mvs_plus_tpu.ops import blocked_conv as bc
+        ob = plan.get(name)
+        s0 = specs[0][0]
+        S = x.shape[1:-1]
+        out_sizes = tuple((s + 2 * specs[0][1]
+                           - p[f"{name}.0"]["conv"]["weight"].shape[0]) // s0
+                          + 1 for s in S)
+        if ob is None or any(o % b for o, b in zip(out_sizes, ob)):
+            return None  # not exactly representable -> plain path
+        ib = tuple(s0 * b for b in ob)
+        x_b = bc.space_to_depth(x, ib)
+        for i, (stride, pad) in enumerate(specs):
+            blk = p[f"{name}.{i}"]
+            w = blk["conv"]["weight"]
+            y_b = bc.blocked_conv_raw(x_b, w, stride, pad, ob,
+                                      x_b.shape[1:-1], out_sizes)
+            b = blk["conv"].get("bias")
+            if b is not None:
+                y_b = y_b + jnp.tile(b, int(np.prod(ob))).astype(y_b.dtype)
+            if "bn" in blk:
+                with scope(ctx, f"{name}.{i}"):
+                    with scope(ctx, "bn"):
+                        y_b = bc.bn_blocked(y_b, blk["bn"], ctx, ob)
+            x_b = jax.nn.relu(y_b)
+        return bc.depth_to_space(x_b, ob, w.shape[-1], crop=out_sizes)
 
     def seq(x, name, specs):
+        if use_blocked:
+            y = seq_blocked(x, name, specs)
+            if y is not None:
+                return y
         i = 0
         while i < len(specs):
             blk = p[f"{name}.{i}"]
@@ -85,15 +150,28 @@ def feature_net(x, p, ctx=None, stem_impl="auto"):
     conv2 = seq(conv1, "conv2", [(2, 2), (1, 1), (1, 1)])
     conv3 = seq(conv2, "conv3", [(2, 2), (1, 1), (1, 1)])
 
+    def head3x3(x, name):
+        # FPN 3x3 heads carry 64 in channels at 1/4 and 1/2 res — blocked
+        # they are full-lane matmuls (probe case "out3" in
+        # scripts/probe_blocked_conv.py).
+        if use_blocked:
+            ob = plan.get(name)
+            if ob is not None and not any(s % b for s, b in
+                                          zip(x.shape[1:-1], ob)):
+                from effi_mvs_plus_tpu.ops import blocked_conv as bc
+                return bc.conv_blocked(x, p[name]["weight"], padding=1,
+                                       out_block=ob)
+        return nn.conv2d(x, p[name]["weight"], padding=1)
+
     out = {}
     intra = conv3
     out["stage1"] = nn.conv2d(intra, p["out1"]["weight"])
     intra = _upsample_nearest2x(intra) + nn.conv2d(
         conv2, p["inner1"]["weight"], p["inner1"]["bias"])
-    out["stage2"] = nn.conv2d(intra, p["out2"]["weight"], padding=1)
+    out["stage2"] = head3x3(intra, "out2")
     intra = _upsample_nearest2x(intra) + nn.conv2d(
         conv1, p["inner2"]["weight"], p["inner2"]["bias"])
-    out["stage3"] = nn.conv2d(intra, p["out3"]["weight"], padding=1)
+    out["stage3"] = head3x3(intra, "out3")
     return out
 
 

@@ -235,10 +235,20 @@ def blocked_conv_raw(x_b, w, stride, padding, out_block, n_in_blocks,
     # tail holds out-of-image values and MUST be cropped (depth_to_space
     # crop=) before further convs tap it.
     pads = []
+    slices = [slice(None)] * nd
     for a in range(nd):
         need = -(-out_sizes[a] // out_block[a])
         have = n_in_blocks[a] + T[a] - (KB[a] - 1)
-        pads.append((T[a], max(0, need - have)))
+        if need == 1 and n_in_blocks[a] == 1:
+            # Full-axis fold (e.g. the D=8 volume axis): every tap with
+            # dt != 0 reads zero padding only — slice them off so the
+            # blocked kernel is 1 wide on this axis (b/k x FLOPs, not
+            # prod(KB)*b/k x).
+            slices[a] = slice(T[a], T[a] + 1)
+            pads.append((0, 0))
+        else:
+            pads.append((T[a], max(0, need - have)))
+    wb = wb[tuple(slices)]
     return lax.conv_general_dilated(
         x_b, wb.astype(x_b.dtype), window_strides=(1,) * nd,
         padding=pads, dimension_numbers=_DIMNUMS[nd])
