@@ -39,8 +39,10 @@ BLOCK_PLAN = {
     "conv1": (2, 4),   # 16 ch -> 128
     "conv2": (2, 2),   # 32 ch -> 128
     "conv3": (1, 2),   # 64 ch -> 128
-    "out2": (2, 2),    # FPN 3x3 head at 1/4 res
-    "out3": (2, 4),    # FPN 3x3 head at 1/2 res
+    # FPN 3x3 heads measured SLOWER blocked (T&T 93 vs 78 ms with heads
+    # on vs 69 ms levels-only — sweep_blocked_feature.py P128/Phead rows)
+    "out2": None,
+    "out3": None,
 }
 
 
@@ -175,58 +177,169 @@ def feature_net(x, p, ctx=None, stem_impl="auto", block_plan=None):
     return out
 
 
-def pixelwise_net(entropy, p, ctx=None):
+# Measured per-conv block plans for the 3-D regulariser / CSP and the
+# 2-D update-block encoder convs, from the on-chip per-geometry sweep at
+# the T&T deployment shapes (scripts/sweep_blocked_convs.py,
+# /tmp/sweep_convs.log 2026-08-20; only >=1.1x isolated wins kept, the
+# rest None = plain XLA).  Deployment of each GROUP is gated by the
+# full-forward A/B (scripts/ab_blocked_forward.py) — isolated probes
+# overstate wins.  Every blocked conv falls back to plain when its block
+# does not divide its output size (exactness — see ops/blocked_conv.py).
+REG_PLAN = {  # stage-1 cost_reg_net, D=48/96 at 1/8 res (1.7-2.1x each)
+    "conv0": (8, 1, 2), "conv1": (8, 1, 2), "conv2": None,
+    "conv3": (4, 1, 2), "conv4": None, "conv5": None,
+    "conv6": (4, 2, 2), "conv7": None, "prob": (8, 1, 2),
+}
+CSP_PLANS = {  # per stage; runs twice (CSP_R + CSP_C)
+    2: {"conv0": (8, 1, 2), "conv_cost": None, "conv1": (8, 1, 4),
+        "conv2": (8, 2, 4)},                      # 1.18/—/1.12/1.56x
+    3: {"conv0": (8, 1, 2), "conv_cost": (8, 1, 4), "conv1": (8, 1, 2),
+        "conv2": (8, 2, 4)},                      # 1.66/1.62/1.64/3.05x
+}
+ENC_PLANS = {  # update-block encoder/head + PixelwiseNet (stage 1)
+    1: {"convc1": (4, 4), "pix0": (4, 4), "pix1": (2, 4)},
+    2: {"convc1": (2, 8)},
+    3: {"convd1": (2, 8), "head2": (2, 8)},
+}
+
+
+def _ob_fits(out_sizes, ob, stride, transpose):
+    if ob is None:
+        return False
+    st = _t3(stride, len(ob))
+    if transpose and any(o % s for o, s in zip(ob, st)):
+        return False
+    return not any(o % b for o, b in zip(out_sizes, ob))
+
+
+def _t3(v, n):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+def _conv_nd_block_b(x, p, ctx, ob, stride=1, padding=1, relu=True,
+                     transpose=False, output_padding=0):
+    """conv{2,3}d_block / deconv3d_block with an optional blocked conv
+    (exact; ops/blocked_conv.py) ahead of the plain BN+ReLU tail."""
+    from effi_mvs_plus_tpu.ops import blocked_conv as bc
+    w = p["conv"]["weight"]
+    nd = w.ndim - 2
+    st, pd = _t3(stride, nd), _t3(padding, nd)
+    op = _t3(output_padding, nd)
+    S = x.shape[1:-1]
+    k = w.shape[:nd]
+    if transpose:
+        out_sizes = tuple((S[a] - 1) * st[a] - 2 * pd[a] + k[a] + op[a]
+                          for a in range(nd))
+    else:
+        out_sizes = tuple((S[a] + 2 * pd[a] - k[a]) // st[a] + 1
+                          for a in range(nd))
+    if not _ob_fits(out_sizes, ob, stride, transpose):
+        if transpose:
+            return nn.deconv3d_block(x, p, ctx, stride=stride,
+                                     padding=padding,
+                                     output_padding=output_padding,
+                                     relu=relu)
+        if nd == 3:
+            return nn.conv3d_block(x, p, ctx, stride=stride,
+                                   padding=padding, relu=relu)
+        return nn.conv2d_block(x, p, ctx, stride=stride, padding=padding,
+                               relu=relu)
+    y = bc.conv_blocked(x, w, p["conv"].get("bias"), stride, padding,
+                        out_block=ob, transpose=transpose,
+                        output_padding=output_padding)
+    if "bn" in p:
+        with scope(ctx, "bn"):
+            y = nn.batch_norm(y, p["bn"], ctx)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+def _c2d(x, w, b=None, padding=0, ob=None):
+    """Plain-or-blocked 2-D conv (no BN) for the encoder/head convs."""
+    if ob is not None:
+        k = w.shape[0]
+        out_sizes = tuple(s + 2 * padding - k + 1 for s in x.shape[1:-1])
+        if not any(o % bb for o, bb in zip(out_sizes, ob)):
+            from effi_mvs_plus_tpu.ops import blocked_conv as bc
+            return bc.conv_blocked(x, w, b, 1, padding, out_block=ob)
+    return nn.conv2d(x, w, b, 1, padding)
+
+
+def pixelwise_net(entropy, p, ctx=None, impl="xla"):
     """Entropy map (B,H,W,1) -> per-view weight (B,H,W,1) in (0,1)."""
+    plan = ENC_PLANS[1] if impl == "blocked" else {}
     x = entropy
     for i in range(3):
         with scope(ctx, str(i)):
-            x = nn.conv_bn_relu2d(x, p[str(i)], ctx, padding=1)
+            x = _conv_nd_block_b(x, p[str(i)], ctx, plan.get(f"pix{i}"),
+                                 padding=1)
     x = nn.conv2d(x, p["3"]["weight"], p["3"]["bias"])
     return jax.nn.sigmoid(x)
 
 
-def cost_reg_net(x, p, ctx=None):
+def cost_reg_net(x, p, ctx=None, impl="xla"):
     """3-level 3-D U-Net.  x: (B,D,H,W,G).
 
     Returns (prob_pre (B,D,H,W), pro (B,D,H,W,base_channels)).
     D, H, W must be divisible by 4 (two stride-2 levels).
+
+    impl='blocked' runs each conv in space-to-depth blocked form with the
+    measured REG_PLAN blocks (depth axis folded into channels — a D=8
+    volume conv becomes a full-lane 2-D-shaped conv).
     """
+    plan = REG_PLAN if impl == "blocked" else {}
+
     def c(x, name, stride=1):
         with scope(ctx, name):
-            return nn.conv3d_block(x, p[name], ctx, stride=stride, padding=1)
+            return _conv_nd_block_b(x, p[name], ctx, plan.get(name),
+                                    stride=stride, padding=1)
 
     def d(x, name):
         with scope(ctx, name):
-            return nn.deconv3d_block(x, p[name], ctx, stride=2, padding=1,
-                                     output_padding=1)
+            return _conv_nd_block_b(x, p[name], ctx, plan.get(name),
+                                    stride=2, padding=1, transpose=True,
+                                    output_padding=1)
 
     conv1 = c(c(x, "conv0"), "conv1")
     conv3 = c(c(conv1, "conv2", 2), "conv3")
     mid = c(c(conv3, "conv4", 2), "conv5")
     up = conv3 + d(mid, "conv6")
     pro = conv1 + d(up, "conv7")
-    prob_pre = nn.conv3d(pro, p["prob"]["weight"], padding=1)
+    ob = plan.get("prob")
+    if ob is not None and not any(s % b for s, b in
+                                  zip(pro.shape[1:-1], ob)):
+        from effi_mvs_plus_tpu.ops import blocked_conv as bc
+        prob_pre = bc.conv_blocked(pro, p["prob"]["weight"], padding=1,
+                                   out_block=ob)
+    else:
+        prob_pre = nn.conv3d(pro, p["prob"]["weight"], padding=1)
     return prob_pre[..., 0], pro
 
 
-def csp_block(cur_volume, prev_volume, p, ctx=None):
+def csp_block(cur_volume, prev_volume, p, ctx=None, impl="xla", stage=3):
     """Cross-scale propagation: fuse the (resampled, half-resolution)
     previous-stage volume into the current stage's fresh volume.
 
     cur_volume: (B,D,H,W,G); prev_volume: (B,D,H/2,W/2,1).
     Returns fused (B,D,H,W) volume.
     """
+    plan = CSP_PLANS.get(stage, {}) if impl == "blocked" else {}
     with scope(ctx, "conv0"):
-        down = nn.conv3d_block(cur_volume, p["conv0"], ctx,
-                               stride=(1, 2, 2), padding=1)
+        down = _conv_nd_block_b(cur_volume, p["conv0"], ctx,
+                                plan.get("conv0"), stride=(1, 2, 2),
+                                padding=1)
     with scope(ctx, "conv_cost"):
-        emb = nn.conv3d_block(prev_volume, p["conv_cost"], ctx, padding=1)
+        emb = _conv_nd_block_b(prev_volume, p["conv_cost"], ctx,
+                               plan.get("conv_cost"), padding=1)
     with scope(ctx, "conv1"):
-        fused = nn.conv3d_block(jnp.concatenate([down, emb], axis=-1),
-                                p["conv1"], ctx, padding=1)
+        fused = _conv_nd_block_b(jnp.concatenate([down, emb], axis=-1),
+                                 p["conv1"], ctx, plan.get("conv1"),
+                                 padding=1)
     with scope(ctx, "conv2"):
-        up = nn.deconv3d_block(fused, p["conv2"], ctx, stride=(1, 2, 2),
-                               padding=1, output_padding=(0, 1, 1))
+        up = _conv_nd_block_b(fused, p["conv2"], ctx, plan.get("conv2"),
+                              stride=(1, 2, 2), padding=1, transpose=True,
+                              output_padding=(0, 1, 1))
     return up[..., 0]
 
 
@@ -246,18 +359,25 @@ def gru_step(h, x, p, ctx=None, impl="auto"):
     return pallas_gru.gru_step(h, x, p, impl=impl)
 
 
-def projection_input(disp, cost, context, p, ctx=None):
+def projection_input(disp, cost, context, p, ctx=None, impl="xla", stage=3):
     """Motion encoder: fuse current inverse depth, cost lookup and context.
     disp: (B,H,W,1); cost: (B,H,W,cost_dim); context: (B,H,W,cdim)."""
-    cor = jax.nn.relu(nn.conv2d(cost, p["convc1"]["weight"], p["convc1"]["bias"]))
-    cor = jax.nn.relu(nn.conv2d(cor, p["convc2"]["weight"], p["convc2"]["bias"],
-                                padding=1))
-    dfm = jax.nn.relu(nn.conv2d(disp, p["convd1"]["weight"], p["convd1"]["bias"],
-                                padding=3))
-    dfm = jax.nn.relu(nn.conv2d(dfm, p["convd2"]["weight"], p["convd2"]["bias"],
-                                padding=1))
-    y = nn.conv2d(jnp.concatenate([cor, dfm], axis=-1),
-                  p["convd"]["weight"], p["convd"]["bias"], padding=1)
+    plan = ENC_PLANS.get(stage, {}) if impl == "blocked" else {}
+
+    def g(n):
+        return plan.get(n)
+
+    cor = jax.nn.relu(_c2d(cost, p["convc1"]["weight"], p["convc1"]["bias"],
+                           ob=g("convc1")))
+    cor = jax.nn.relu(_c2d(cor, p["convc2"]["weight"], p["convc2"]["bias"],
+                           padding=1, ob=g("convc2")))
+    dfm = jax.nn.relu(_c2d(disp, p["convd1"]["weight"], p["convd1"]["bias"],
+                           padding=3, ob=g("convd1")))
+    dfm = jax.nn.relu(_c2d(dfm, p["convd2"]["weight"], p["convd2"]["bias"],
+                           padding=1, ob=g("convd2")))
+    y = _c2d(jnp.concatenate([cor, dfm], axis=-1),
+             p["convd"]["weight"], p["convd"]["bias"], padding=1,
+             ob=g("convd"))
     y = nn.conv2d(jnp.concatenate([y, context], axis=-1),
                   p["convc"]["weight"], p["convc"]["bias"])
     y = jax.nn.relu(y)
@@ -266,26 +386,30 @@ def projection_input(disp, cost, context, p, ctx=None):
     return y
 
 
-def depth_head(h, p, ctx=None):
+def depth_head(h, p, ctx=None, impl="xla", stage=3):
     """hidden -> tanh-bounded inverse-depth delta (B,H,W,1)."""
-    y = jax.nn.relu(nn.conv2d(h, p["conv1"]["weight"], p["conv1"]["bias"],
-                              padding=1))
-    y = nn.conv2d(y, p["conv2"]["weight"], p["conv2"]["bias"], padding=1)
+    plan = ENC_PLANS.get(stage, {}) if impl == "blocked" else {}
+    y = jax.nn.relu(_c2d(h, p["conv1"]["weight"], p["conv1"]["bias"],
+                         padding=1, ob=plan.get("head1")))
+    y = _c2d(y, p["conv2"]["weight"], p["conv2"]["bias"], padding=1,
+             ob=plan.get("head2"))
     with scope(ctx, "dropout"):
         y = nn.dropout(y, 0.1, ctx)
     return jnp.tanh(y)
 
 
-def upsample_mask(h, p):
+def upsample_mask(h, p, impl="xla", stage=3):
     """hidden -> convex-upsampling mask logits, scaled 0.25
     (update.py:136-137)."""
-    y = jax.nn.relu(nn.conv2d(h, p["mask.0"]["weight"], p["mask.0"]["bias"],
-                              padding=1))
+    plan = ENC_PLANS.get(stage, {}) if impl == "blocked" else {}
+    y = jax.nn.relu(_c2d(h, p["mask.0"]["weight"], p["mask.0"]["bias"],
+                         padding=1, ob=plan.get("mask0")))
     return 0.25 * nn.conv2d(y, p["mask.2"]["weight"], p["mask.2"]["bias"])
 
 
 def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
-                 scale_inv_depth, ctx=None, gru_impl="auto"):
+                 scale_inv_depth, ctx=None, gru_impl="auto", enc_impl="xla",
+                 stage=3):
     """RAFT-style iterative refinement (update.py:114-141).
 
     hidden: (B,H,W,hdim); inv_depth: (B,H,W,1) normalised inverse depth;
@@ -303,11 +427,13 @@ def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
         cost = get_cost(depth, i)
         with scope(ctx, f"iter{i}"):
             with scope(ctx, "encoder"):
-                x = projection_input(inv_depth, cost, context, p["encoder"], ctx)
+                x = projection_input(inv_depth, cost, context, p["encoder"],
+                                     ctx, impl=enc_impl, stage=stage)
             hidden = gru_step(hidden, x, p["depth_gru"], ctx, impl=gru_impl)
             with scope(ctx, "depth_head"):
-                delta = depth_head(hidden, p["depth_head"], ctx)
+                delta = depth_head(hidden, p["depth_head"], ctx,
+                                   impl=enc_impl, stage=stage)
         inv_depth = inv_depth + delta
         inv_depths.append(inv_depth)
-    mask = upsample_mask(hidden, p)
+    mask = upsample_mask(hidden, p, impl=enc_impl, stage=stage)
     return hidden, mask, inv_depths

@@ -73,6 +73,13 @@ class EffiMVSConfig:
     # FPN-stem 3x3 chains: 'auto' = fused pallas kernel at inference on
     # TPU with folded BN (ops/pallas_conv.py); 'pallas' / 'xla' force.
     stem_impl: str = "auto"
+    # Cost-regulariser + CSP 3-D convs: 'blocked' = space-to-depth
+    # blocked form (ops/blocked_conv.py, blocks.REG_PLAN/CSP_PLAN);
+    # 'auto' resolution is set by the full-forward A/B
+    # (scripts/ab_blocked_forward.py).
+    reg_impl: str = "auto"
+    # Update-block encoder / depth-head / mask 2-D convs, + PixelwiseNet.
+    enc_impl: str = "auto"
 
 
 def _bshape(x, ndim):
@@ -118,6 +125,19 @@ def forward(params, imgs, proj_matrices, depth_values,
     dt = cfg.compute_dtype
     imgs = imgs.astype(dt)
     depth_values = depth_values.astype(jnp.float32)
+
+    # Blocked-conv dispatch for the regulariser/CSP and encoder conv
+    # groups, set by the full-forward A/B (scripts/ab_blocked_forward.py,
+    # 2026-08-20; isolated per-conv probes overstate wins — BASELINE.md
+    # round 4): reg 'auto' -> blocked at TPU inference (T&T B=2
+    # 316 -> 292 ms/map, DTU B=6 17.96 -> 18.35 maps/s); enc measured a
+    # ~4 ms LOSS at every point -> stays XLA; stem wins at B=1 only ->
+    # stays opt-in.  Training keeps XLA (backward cost unmeasured).
+    reg_impl = cfg.reg_impl
+    if reg_impl == "auto":
+        reg_impl = ("blocked" if ctx is None
+                    and jax.default_backend() == "tpu" else "xla")
+    enc_impl = "xla" if cfg.enc_impl == "auto" else cfg.enc_impl
 
     disp_min = depth_values[:, 0]
     disp_max = depth_values[:, -1]
@@ -194,7 +214,8 @@ def forward(params, imgs, proj_matrices, depth_values,
                 vw = blocks.pixelwise_net(
                     par.constrain_view_batch(
                         entropy.reshape(B * (V - 1), h, w, 1)),
-                    params["PixelwiseNet"], ctx)        # (B(V-1),h,w,1)
+                    params["PixelwiseNet"], ctx,
+                    impl=enc_impl)                      # (B(V-1),h,w,1)
             vw = vw.reshape(B, V - 1, h, w)
             view_weights = vw                           # (B,V-1,h,w)
             vw_ = vw[:, :, None]                        # (B,V-1,1,h,w)
@@ -205,7 +226,8 @@ def forward(params, imgs, proj_matrices, depth_values,
 
             with scope(ctx, "cost_regularization"):
                 prob_pre, _pro = blocks.cost_reg_net(
-                    similarity, params["cost_regularization"], ctx)
+                    similarity, params["cost_regularization"], ctx,
+                    impl=reg_impl)
             prob = jax.nn.softmax(prob_pre.astype(jnp.float32), axis=1)
             init_depth = ops.depth_regression(prob, depth_hyps)
             conf = ops.photometric_confidence(prob)
@@ -247,13 +269,15 @@ def forward(params, imgs, proj_matrices, depth_values,
             with scope(ctx, f"CSP_R{s}"):
                 reg_volume = par.constrain_volume(blocks.csp_block(
                     fresh.astype(dt), reg_low[..., None].astype(dt),
-                    params[f"CSP_R{s}"], ctx).astype(jnp.float32))
+                    params[f"CSP_R{s}"], ctx, impl=reg_impl,
+                    stage=s + 1).astype(jnp.float32))
             cur_low = ops.resample_volume_at_depths(
                 cur_volume, ds_low, vol_dmin, vol_dmax)
             with scope(ctx, f"CSP_C{s}"):
                 cur_volume = par.constrain_volume(blocks.csp_block(
                     fresh.astype(dt), cur_low[..., None].astype(dt),
-                    params[f"CSP_C{s}"], ctx).astype(jnp.float32))
+                    params[f"CSP_C{s}"], ctx, impl=reg_impl,
+                    stage=s + 1).astype(jnp.float32))
             vol_dmin, vol_dmax = new_dmin, new_dmax
 
         # ----- ConvGRU iterative refinement over the stored volumes -----
@@ -283,7 +307,8 @@ def forward(params, imgs, proj_matrices, depth_values,
                 par.constrain_spatial(hiddens[s].astype(dt)), get_cost,
                 inv_cur_depth[..., None].astype(dt), contexts[s].astype(dt),
                 params[f"update_block_depth{s + 1}"], cfg.gru_iters[s],
-                scale4, ctx, gru_impl=cfg.gru_impl)
+                scale4, ctx, gru_impl=cfg.gru_impl, enc_impl=enc_impl,
+                stage=s + 1)
 
         for inv_d in inv_depth_list:
             depth_predictions.append(

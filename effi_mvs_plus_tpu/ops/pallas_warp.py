@@ -59,6 +59,13 @@ TILE_COLS = 128
 REGION_ROWS = 24           # TILE_ROWS + vertical margin + alignment slack
 REGION_COLS = 384          # TILE_COLS + horizontal margin + lane alignment
 PATCH_ENABLED = True       # rung-2 sparse overflow patch (debug kill-switch)
+FORCE_RUNG = None          # trace-time ladder override (profiling only):
+                           # 0=rows16, 1=rows24, 4=XLA — skips the traced
+                           # predicates AND the lax.switch, so a bench
+                           # with FORCE_RUNG=0 isolates the dispatch cost
+                           # (predicate compute + switch operand copies).
+                           # UNSAFE for wild geometry; never set in
+                           # production paths.
 ALIGN_X = 128              # lane tiling of the packed source rows
 ALIGN_Y = 8                # sublane granule: oy*C must be a multiple of 8
 
@@ -936,6 +943,29 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     # compile once; one executes per batch.  The projection field is
     # computed ONCE and shared by predicates, kernels and the patch.
     px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
+    if FORCE_RUNG is not None:
+        if FORCE_RUNG in (0, "pred0"):
+            out = _plane_sweep_correlate_views(
+                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                region_rows=16, interpret=interpret, px=px,
+                py=py).astype(ref_fea.dtype)
+            if FORCE_RUNG == "pred0":
+                # keep the predicate compute live (profiling: isolates
+                # predicate cost from switch operand/result copies)
+                f16 = support_fits(rots, transs, depth, H, W, C, px=px,
+                                   py=py, region_rows=16)
+                fl24 = support_fits(rots, transs, depth, H, W, C, px=px,
+                                    py=py, per_tile=True)
+                eps = (f16.astype(out.dtype) + jnp.sum(~fl24).astype(
+                    out.dtype)) * jnp.asarray(0, out.dtype)
+                out = out + eps
+            return out
+        if FORCE_RUNG == 1:
+            return _plane_sweep_correlate_views(
+                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
+        return _views_xla(ref_fea, src_feas, rots, transs, depth,
+                          groups).astype(ref_fea.dtype)
     fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
                           region_rows=16)
     flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
