@@ -59,6 +59,13 @@ TILE_COLS = 128
 REGION_ROWS = 24           # TILE_ROWS + vertical margin + alignment slack
 REGION_COLS = 384          # TILE_COLS + horizontal margin + lane alignment
 PATCH_ENABLED = True       # rung-2 sparse overflow patch (debug kill-switch)
+DISPATCH_RECOMPUTE_FIELDS = False  # A/B'd on-chip (probe_dispatch_cost,
+                                   # 2026-08-20, interleaved x2): branches
+                                   # recomputing px/py REGRESSES 343->349
+                                   # ms/map vs passing them as operands —
+                                   # XLA keeps the outer fields live for the
+                                   # predicates either way, so recompute is
+                                   # pure extra work.  Kept as a probe knob.
 FORCE_RUNG = None          # trace-time ladder override (profiling only):
                            # 0=rows16, 1=rows24, 4=XLA — skips the traced
                            # predicates AND the lax.switch, so a bench
@@ -983,23 +990,42 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                                jnp.where(patch_small, 2,
                                          jnp.where(patch_big, 3, 4))))
 
-    def _rows24():
+    # The projection fields px/py are ~120-160 MB each at the T&T point;
+    # passing them into the switch branches makes them switch operands
+    # and the round-4 decomposition (scripts/probe_dispatch_cost.py)
+    # measured the switch costing ~25 ms/map in operand/result copies
+    # (predicates only ~6 ms).  Branches therefore RECOMPUTE the fields
+    # from the tiny (rots, transs, depth) inputs — ~1-2 ms of VPU math on
+    # the taken branch instead of cross-switch copies.
+    pxa = None if DISPATCH_RECOMPUTE_FIELDS else px
+    pya = None if DISPATCH_RECOMPUTE_FIELDS else py
+
+    def _fields():
+        if pxa is not None:
+            return pxa, pya
+        return _project_views(rots, transs, depth.astype(jnp.float32), H, W)
+
+    def _rows16():
+        fx, fy = _fields()
         return _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            interpret=interpret, px=px, py=py)
+            region_rows=16, interpret=interpret, px=fx, py=fy)
+
+    def _rows24(fx, fy):
+        return _plane_sweep_correlate_views(
+            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            interpret=interpret, px=fx, py=fy)
+
+    def _patched(cap):
+        fx, fy = _fields()
+        return _patch_overflow_tiles(
+            _rows24(fx, fy), ref_fea, src_feas, fx, fy, flags24, cap)
 
     return lax.switch(rung, [
-        lambda: _plane_sweep_correlate_views(
-            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            region_rows=16, interpret=interpret, px=px,
-            py=py).astype(ref_fea.dtype),
-        lambda: _rows24().astype(ref_fea.dtype),
-        lambda: _patch_overflow_tiles(
-            _rows24(), ref_fea, src_feas, px, py, flags24,
-            cap_small).astype(ref_fea.dtype),
-        lambda: _patch_overflow_tiles(
-            _rows24(), ref_fea, src_feas, px, py, flags24,
-            cap_big).astype(ref_fea.dtype),
+        lambda: _rows16().astype(ref_fea.dtype),
+        lambda: _rows24(*_fields()).astype(ref_fea.dtype),
+        lambda: _patched(cap_small).astype(ref_fea.dtype),
+        lambda: _patched(cap_big).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
                            groups).astype(ref_fea.dtype)])
 

@@ -35,7 +35,8 @@ def main():
 
     params = load_torch_checkpoint(
         "/root/reference/checkpoints/Effi_MVS_plus/model_tank.ckpt")
-    cfg = EffiMVSConfig(ndepths=rig.NDEPTHS, compute_dtype=jnp.bfloat16)
+    cfg = EffiMVSConfig(ndepths=rig.NDEPTHS, compute_dtype=jnp.bfloat16,
+                        reg_impl="blocked")
 
     def fence(x):
         return float(jax.device_get(jnp.ravel(x)[0]))
@@ -49,23 +50,34 @@ def main():
             jnp.asarray(pm["stage2"]), jnp.asarray(pm["stage3"]),
             jnp.asarray(dv))
 
-    for force in (None, 0, "pred0"):
+    # (force_rung, recompute_fields) variants, interleaved twice to kill
+    # order bias; reg_impl pinned 'blocked' so 'auto' ambiguity is out.
+    variants = [("ladder-pass", None, False), ("ladder-rec", None, True),
+                ("rung0", 0, False), ("pred0", "pred0", False)]
+    fns = {}
+    for name, force, rec in variants:
         pw.FORCE_RUNG = force
-        f = jax.jit(lambda i, s1, s2, s3, d, _v=force: forward(
+        pw.DISPATCH_RECOMPUTE_FIELDS = rec
+        fns[name] = jax.jit(lambda i, s1, s2, s3, d, _v=name: forward(
             params, i, {"stage1": s1, "stage2": s2, "stage3": s3}, d,
             cfg, ctx=None)["depth"][-1])
-        y = f(*args)
+        y = fns[name](*args)   # compile under the right module flags
         fence(y)
-        yn = np.asarray(y, np.float32)
-        t0 = time.perf_counter()
-        iters = 6
-        for _ in range(iters):
-            y = f(*args)
-        fence(y)
-        dt = (time.perf_counter() - t0) / iters / B
-        print({"force_rung": force, "s_per_map": round(dt, 4),
-               "median_depth": round(float(np.median(yn)), 4)}, flush=True)
+        print(f"compiled {name}, median "
+              f"{float(np.median(np.asarray(y, np.float32))):.4f}",
+              flush=True)
     pw.FORCE_RUNG = None
+    for rnd in range(2):
+        for name, _f, _r in variants:
+            t0 = time.perf_counter()
+            iters = 6
+            y = None
+            for _ in range(iters):
+                y = fns[name](*args)
+            fence(y)
+            dt = (time.perf_counter() - t0) / iters / B
+            print({"round": rnd, "variant": name,
+                   "s_per_map": round(dt, 4)}, flush=True)
 
 
 if __name__ == "__main__":

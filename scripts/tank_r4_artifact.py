@@ -67,9 +67,13 @@ def main():
         return dt, compile_s, dn
 
     scene_rows = []
-    for B in (1, 2):
+    for B in (1, 2, 3):
         imgs, pm, dv = rig.batch(B)
-        dt, compile_s, dn = run(imgs, pm, dv)
+        try:
+            dt, compile_s, dn = run(imgs, pm, dv)
+        except Exception as e:  # noqa: BLE001 — B=3 may OOM HBM
+            print(f"B={B} failed: {type(e).__name__}: {e}", flush=True)
+            break
         scene_rows.append({
             "B": B, "s_per_map": round(dt, 4),
             "maps_per_s": round(1 / dt, 3),
