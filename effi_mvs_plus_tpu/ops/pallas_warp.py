@@ -41,6 +41,7 @@ gradients flow only through ref/src features.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +56,28 @@ from effi_mvs_plus_tpu.ops import warp as xla_warp
 # Tile / region defaults (see BASELINE.md profile; margins sized for the
 # DTU/T&T camera geometry — ~12 px disparity span at 1/8 resolution).
 TILE_ROWS = 8
-TILE_COLS = 128
-REGION_ROWS = 24           # TILE_ROWS + vertical margin + alignment slack
-REGION_COLS = 384          # TILE_COLS + horizontal margin + lane alignment
+# The horizontal window is THE speed-of-light lever: the kernel matmul is
+# (region_rows*C) x region_cols x lanes, so Qc scales every stage's MXU
+# FLOPs linearly.  The window must cover ALIGN_X-1 columns of origin
+# alignment slack plus the tile's projected span; Mosaic requires
+# lane-dim slice offsets divisible by 128, so the slack is fixed at 127
+# and the only way below 3 lane tiles of window is a NARROWER TILE:
+# 64-col tiles shrink the span to ~tile+parallax = ~85 px at both rigs
+# (scripts/probe_span_stats.py), making a 2-lane-tile window (budget
+# 256-3-127 = 126) fit with margin.  The ladder demotes any launch whose
+# geometry does not.  Env overrides are for A/B probes.
+TILE_COLS = int(os.environ.get("EFFI_TILE_COLS", "128"))
+# Rung-1 region rows (rung 0 always tries 16).  The vertical budget is
+# rows-3 (align_y=1 for C in {8,16,32}); measured chunked spans at the
+# T&T rig are 13.1-15.5, so a 20-row rung-1 (budget 17) covers what 24
+# covered there at 5/6 the matmul height — the sparse patch + XLA rungs
+# still back-stop anything taller.
+REGION_ROWS = int(os.environ.get("EFFI_REGION_ROWS", "24"))
+REGION_COLS = int(os.environ.get("EFFI_REGION_COLS", "384"))
 PATCH_ENABLED = True       # rung-2 sparse overflow patch (debug kill-switch)
+DISPATCH_NESTED = os.environ.get("EFFI_DISPATCH_NESTED", "") == "1"
+                           # probe knob: nested 2-way conds instead of the
+                           # flat 5-way lax.switch (see _views_fwd_impl)
 DISPATCH_RECOMPUTE_FIELDS = False  # A/B'd on-chip (probe_dispatch_cost,
                                    # 2026-08-20, interleaved x2): branches
                                    # recomputing px/py REGRESSES 343->349
@@ -73,7 +92,12 @@ FORCE_RUNG = None          # trace-time ladder override (profiling only):
                            # (predicate compute + switch operand copies).
                            # UNSAFE for wild geometry; never set in
                            # production paths.
-ALIGN_X = 128              # lane tiling of the packed source rows
+ALIGN_X = 128              # region-origin x granule.  Mosaic can only
+                           # prove lane-dim slice offsets divisible by
+                           # the 128 lane tiling — sub-128 granules fail
+                           # to compile ("tile index in dimension 2"),
+                           # so narrowing the window means narrowing
+                           # TILE_COLS, not the alignment.
 ALIGN_Y = 8                # sublane granule: oy*C must be a multiple of 8
 
 
@@ -111,16 +135,24 @@ def _align_down(v, m):
     return (v // m) * m
 
 
+_DB_CAP = int(os.environ.get("EFFI_DB_CAP", "8"))
+
+
 def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024,
                       region_rows=REGION_ROWS):
     """Depth planes fused per kernel step.  Larger chunks amortize the
     per-step fixed cost (grid step, origin check, out/px/py block DMAs) —
     measured ~5-7 us/step of the 11.3 us stage-3 step time — but grow the
-    in-kernel (Qr*C, DB*P) f32 accumulator; cap it at `budget_bytes`.
+    in-kernel (Qr*C, DB*P) f32 accumulator (cap at `budget_bytes`) AND
+    the per-chunk support span the shared region must cover (planes in a
+    chunk share one origin, so more planes -> more disparity drift ->
+    likelier rung demotion; _DB_CAP is the A/B knob for that trade).
     `region_rows` must be the SAME value the kernel will run with (the
     accumulator height is region_rows*C — ADVICE r2 #4)."""
     qrc = region_rows * C
     for db in (8, 6, 5, 4, 3, 2, 1):
+        if db > _DB_CAP:
+            continue
         if D % db == 0 and qrc * db * P * 4 <= budget_bytes:
             return db
     return 1
@@ -990,13 +1022,13 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                                jnp.where(patch_small, 2,
                                          jnp.where(patch_big, 3, 4))))
 
-    # The projection fields px/py are ~120-160 MB each at the T&T point;
-    # passing them into the switch branches makes them switch operands
-    # and the round-4 decomposition (scripts/probe_dispatch_cost.py)
-    # measured the switch costing ~25 ms/map in operand/result copies
-    # (predicates only ~6 ms).  Branches therefore RECOMPUTE the fields
-    # from the tiny (rots, transs, depth) inputs — ~1-2 ms of VPU math on
-    # the taken branch instead of cross-switch copies.
+    # The projection fields px/py are ~120-160 MB each at the T&T point
+    # and cross the switch as operands.  The round-4 decomposition
+    # (scripts/probe_dispatch_cost.py) measured the ladder's cost at
+    # ~31 ms/map of the T&T forward (predicates ~6, switch ~25); having
+    # branches RECOMPUTE the fields instead of receiving them measured
+    # WORSE (349 vs 343 ms/map — XLA keeps the outer fields live for the
+    # predicates either way), so operands stay passed.
     pxa = None if DISPATCH_RECOMPUTE_FIELDS else px
     pya = None if DISPATCH_RECOMPUTE_FIELDS else py
 
@@ -1021,6 +1053,24 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
         return _patch_overflow_tiles(
             _rows24(fx, fy), ref_fea, src_feas, fx, fy, flags24, cap)
 
+    if DISPATCH_NESTED:
+        # nested 2-way conds: the hot rungs (16/24 rows) sit at the top
+        # level so the rarely-taken patch/XLA bodies' operand unions move
+        # behind an inner conditional (probe knob; A/B'd vs the flat
+        # switch on-chip)
+        return lax.cond(
+            fits16, lambda: _rows16().astype(ref_fea.dtype),
+            lambda: lax.cond(
+                fits24, lambda: _rows24(*_fields()).astype(ref_fea.dtype),
+                lambda: lax.cond(
+                    patch_small,
+                    lambda: _patched(cap_small).astype(ref_fea.dtype),
+                    lambda: lax.cond(
+                        patch_big,
+                        lambda: _patched(cap_big).astype(ref_fea.dtype),
+                        lambda: _views_xla(
+                            ref_fea, src_feas, rots, transs, depth,
+                            groups).astype(ref_fea.dtype)))))
     return lax.switch(rung, [
         lambda: _rows16().astype(ref_fea.dtype),
         lambda: _rows24(*_fields()).astype(ref_fea.dtype),

@@ -75,18 +75,32 @@ def test_pallas_warp_gradients_match():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
-def test_region_fits_flags_wild_homography():
-    H, W, D = 104, 144, 3
+def _wild_homography(H, W, D, C=8):
+    """Projective distortion strong enough to overflow the kernel's static
+    region margins UNDER THE CURRENT WINDOW CONFIG (TILE_COLS/REGION_*
+    are env-tunable probe knobs; narrower tiles shrink per-tile spans, so
+    a fixed curvature is not 'wild' for every config).  z varies with x,
+    so py at large y sweeps many pixels across one tile — escalate the
+    curvature until both overflow diagnostics agree it does not fit."""
     depth = jnp.asarray(np.broadcast_to(
         np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
         (1, D, H, W)).copy())
-    # explicit projective distortion: z varies with x, so py at large y
-    # sweeps tens of pixels across one tile — far beyond the row margin
-    bad = np.eye(3, dtype=np.float32)
-    bad[2, 0] = 2e-3
-    rot_bad = jnp.asarray(bad[None])
-    px, py = geometry.project_to_src(rot_bad, jnp.zeros((1, 3)),
-                                     depth[0][None], H, W)
+    for b in (2e-3, 4e-3, 8e-3, 1.6e-2, 3.2e-2):
+        bad = np.eye(3, dtype=np.float32)
+        bad[2, 0] = b
+        px, py = geometry.project_to_src(
+            jnp.asarray(bad[None]), jnp.zeros((1, 3)), depth[0][None],
+            H, W)
+        if not pw.region_fits(px[0], py[0]) and not bool(pw.support_fits(
+                jnp.asarray(bad[None, None]), jnp.zeros((1, 1, 3)),
+                depth, H, W, C)):
+            return bad, depth, px, py
+    raise AssertionError("could not construct overflowing geometry")
+
+
+def test_region_fits_flags_wild_homography():
+    H, W, D = 104, 144, 3
+    _, _, px, py = _wild_homography(H, W, D)
     assert not pw.region_fits(px[0], py[0])
 
 
@@ -195,12 +209,7 @@ def test_wild_geometry_auto_falls_back_exact():
     rng = np.random.default_rng(5)
     ref = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
     src = jnp.asarray(rng.normal(size=(1, 1, H, W, C)).astype(np.float32))
-    depth = jnp.asarray(np.broadcast_to(
-        np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
-        (1, D, H, W)).copy())
-    # projective distortion: py sweeps tens of pixels across one tile
-    bad = np.eye(3, dtype=np.float32)
-    bad[2, 0] = 2e-3
+    bad, depth, _, _ = _wild_homography(H, W, D, C)
     rots = jnp.asarray(bad[None, None])
     trs = jnp.zeros((1, 1, 3))
 
