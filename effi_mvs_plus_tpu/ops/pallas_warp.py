@@ -137,6 +137,36 @@ def _align_down(v, m):
 
 _DB_CAP = int(os.environ.get("EFFI_DB_CAP", "8"))
 
+# Any window knob in the env freezes the per-shape policy to the module
+# constants (probe mode); otherwise each launch picks its window
+# statically from its shape at trace time — zero runtime cost.
+_ENV_WINDOW_OVERRIDE = any(k in os.environ for k in (
+    "EFFI_TILE_COLS", "EFFI_REGION_COLS", "EFFI_REGION_ROWS"))
+
+
+def _window_policy(C, D):
+    """Static per-launch window (tile_cols, region_cols, rows_rung1).
+
+    Measured on v5e (scripts/ab_region_window.py + probe_rungs.py,
+    2026-08-20):
+      - deep initial sweeps (C>=32 or D>8): the region is already
+        width-clamped to 256 cols at the deployment widths, so narrower
+        tiles only add grid steps; the rung-1 win is ROWS 24->20
+        (M = 20*32 = 640 stays a 128 multiple): stage-1 unit 94.3 ->
+        84.7 ms at the T&T rig.
+      - refinement stages (C in {8,16}, D=8): 64-col tiles shrink the
+        per-tile span so a 2-lane-tile window (256 cols) fits AND the
+        16-row rung-0 becomes reachable at metric scale: stage-2 unit
+        26.5 -> 20.5 ms, DTU B=6 forward 18.31 -> 19.10 maps/s.
+        rows_rung1 stays 24 — 20 rows REGRESSED C=8 (unit 66 -> 85;
+        M = 160 is not a 128 multiple).
+    """
+    if _ENV_WINDOW_OVERRIDE:
+        return TILE_COLS, REGION_COLS, REGION_ROWS
+    if C >= 32 or D > 8:
+        return 128, 384, 20
+    return 64, 256, 24
+
 
 def _auto_depth_chunk(D, C, P, budget_bytes=13 * 1024 * 1024,
                       region_rows=REGION_ROWS):
@@ -284,7 +314,7 @@ def _support_fit_mask(px, py, H, W, Hs, Ws, C,
 
 def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
                  px=None, py=None, region_rows=REGION_ROWS,
-                 per_tile=False):
+                 per_tile=False, tile_cols=None, region_cols=None):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
@@ -295,16 +325,20 @@ def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
     field.  With ``per_tile=True`` returns the (B*V, T) per-tile fit flags
     instead of the global bool (the sparse-patch dispatch granularity)."""
     D = depth.shape[1]
+    if tile_cols is None:
+        tile_cols = TILE_COLS
+    if region_cols is None:
+        region_cols = REGION_COLS
     if px is None or py is None:
         px, py = _project_views(rots, transs, depth, H, W)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
     region_rows = min(region_rows, H)
     if depth_chunk is None:
-        depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * TILE_COLS,
+        depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * tile_cols,
                                         region_rows=region_rows)
     mask = _support_fit_mask(
-        px, py, H, W, H, Wa, C,
-        region_rows=region_rows, region_cols=min(REGION_COLS, Wa),
+        px, py, H, W, H, Wa, C, tile_cols=tile_cols,
+        region_rows=region_rows, region_cols=min(region_cols, Wa),
         depth_chunk=depth_chunk)
     if not per_tile:
         return jnp.all(mask)
@@ -981,20 +1015,23 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     # geometry wilder than that takes the full XLA path.  All rungs
     # compile once; one executes per batch.  The projection field is
     # computed ONCE and shared by predicates, kernels and the patch.
+    tc, rc, rows1 = _window_policy(C, D)
     px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
     if FORCE_RUNG is not None:
         if FORCE_RUNG in (0, "pred0"):
             out = _plane_sweep_correlate_views(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                region_rows=16, interpret=interpret, px=px,
-                py=py).astype(ref_fea.dtype)
+                tile_cols=tc, region_rows=16, region_cols=rc,
+                interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
             if FORCE_RUNG == "pred0":
                 # keep the predicate compute live (profiling: isolates
                 # predicate cost from switch operand/result copies)
                 f16 = support_fits(rots, transs, depth, H, W, C, px=px,
-                                   py=py, region_rows=16)
+                                   py=py, region_rows=16, tile_cols=tc,
+                                   region_cols=rc)
                 fl24 = support_fits(rots, transs, depth, H, W, C, px=px,
-                                    py=py, per_tile=True)
+                                    py=py, per_tile=True, tile_cols=tc,
+                                    region_rows=rows1, region_cols=rc)
                 eps = (f16.astype(out.dtype) + jnp.sum(~fl24).astype(
                     out.dtype)) * jnp.asarray(0, out.dtype)
                 out = out + eps
@@ -1002,13 +1039,15 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
         if FORCE_RUNG == 1:
             return _plane_sweep_correlate_views(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                tile_cols=tc, region_rows=rows1, region_cols=rc,
                 interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
         return _views_xla(ref_fea, src_feas, rots, transs, depth,
                           groups).astype(ref_fea.dtype)
     fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                          region_rows=16)
+                          region_rows=16, tile_cols=tc, region_cols=rc)
     flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                           per_tile=True)                 # (B*V, T)
+                           per_tile=True, tile_cols=tc, region_rows=rows1,
+                           region_cols=rc)                # (B*V, T)
     fits24 = jnp.all(flags24)
     n_bad = jnp.sum(~flags24)
     # two patch tiers: the gather cost is proportional to capacity, and
@@ -1041,17 +1080,20 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
         fx, fy = _fields()
         return _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            region_rows=16, interpret=interpret, px=fx, py=fy)
+            tile_cols=tc, region_rows=16, region_cols=rc,
+            interpret=interpret, px=fx, py=fy)
 
     def _rows24(fx, fy):
         return _plane_sweep_correlate_views(
             ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            tile_cols=tc, region_rows=rows1, region_cols=rc,
             interpret=interpret, px=fx, py=fy)
 
     def _patched(cap):
         fx, fy = _fields()
         return _patch_overflow_tiles(
-            _rows24(fx, fy), ref_fea, src_feas, fx, fy, flags24, cap)
+            _rows24(fx, fy), ref_fea, src_feas, fx, fy, flags24, cap,
+            tile_cols=tc)
 
     if DISPATCH_NESTED:
         # nested 2-way conds: the hot rungs (16/24 rows) sit at the top
@@ -1111,12 +1153,14 @@ def _views_bwd(groups, interpret, res, g):
         # cotangent zeroed — so one wild tile no longer demotes the whole
         # backward to the OOM-prone XLA path.
         V = src_feas.shape[1]
+        tc, rc, rows1 = _window_policy(C, D)
         px, py = _project_views(rots, transs, depth.astype(jnp.float32),
                                 H, W)
         fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                              region_rows=16)
+                              region_rows=16, tile_cols=tc, region_cols=rc)
         flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                               per_tile=True)              # (B*V, T)
+                               per_tile=True, tile_cols=tc,
+                               region_rows=rows1, region_cols=rc)  # (BV,T)
         fits24 = jnp.all(flags24)
         n_bad = jnp.sum(~flags24)
         cap_small, cap_big = _patch_capacities(flags24.size)
@@ -1128,24 +1172,25 @@ def _views_bwd(groups, interpret, res, g):
                                              jnp.where(patch_big, 3, 4))))
 
         def patched_grads(capacity):
-            P = TILE_ROWS * TILE_COLS
+            P = TILE_ROWS * tc
             gf32 = g.astype(jnp.float32)
             # per-pixel fit mask from the per-tile flags
             Hp = -(-H // TILE_ROWS) * TILE_ROWS
-            Wp = -(-W // TILE_COLS) * TILE_COLS
-            Th, Tw = Hp // TILE_ROWS, Wp // TILE_COLS
+            Wp = -(-W // tc) * tc
+            Th, Tw = Hp // TILE_ROWS, Wp // tc
             m = flags24.reshape(B * V, Th, 1, Tw, 1)
-            m = jnp.broadcast_to(m, (B * V, Th, TILE_ROWS, Tw, TILE_COLS))
+            m = jnp.broadcast_to(m, (B * V, Th, TILE_ROWS, Tw, tc))
             m = m.reshape(B * V, Hp, Wp)[:, :H, :W] \
                 .reshape(B, V, 1, H, W)
             d_ref_k, d_src_k = _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                jnp.where(m, gf32, 0.0), interpret=interpret, px=px, py=py)
+                jnp.where(m, gf32, 0.0), tile_cols=tc, region_rows=rows1,
+                region_cols=rc, interpret=interpret, px=px, py=py)
             bv, t, px_sel, py_sel, T = _tile_select(
-                px, py, flags24, capacity, H, W)
+                px, py, flags24, capacity, H, W, tile_cols=tc)
             gp = _pad_to(gf32.reshape(B * V * D, H, W),
-                         {1: TILE_ROWS, 2: TILE_COLS}, mode="constant")
-            gtf = _tile_flat(gp, TILE_ROWS, TILE_COLS).reshape(
+                         {1: TILE_ROWS, 2: tc}, mode="constant")
+            gtf = _tile_flat(gp, TILE_ROWS, tc).reshape(
                 B * V, D, T, P)
             g_sel = gtf[bv, :, t]                          # (K, D, P)
             # zero surplus selections that landed on fitting tiles (their
@@ -1154,7 +1199,7 @@ def _views_bwd(groups, interpret, res, g):
             g_sel = jnp.where(sel_flagged[:, None, None], g_sel, 0.0)
             corr, vjp = jax.vjp(
                 lambda rf, sf: _exact_tiles_corr(rf, sf, px_sel, py_sel,
-                                                 bv, t),
+                                                 bv, t, tile_cols=tc),
                 ref_fea, src_feas)
             d_ref_p, d_src_p = vjp(g_sel.astype(corr.dtype))
             return (d_ref_k + d_ref_p.astype(d_ref_k.dtype),
@@ -1163,11 +1208,12 @@ def _views_bwd(groups, interpret, res, g):
         d_ref, d_src = lax.switch(rung, [
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                g.astype(jnp.float32), region_rows=16, interpret=interpret,
-                px=px, py=py),
+                g.astype(jnp.float32), tile_cols=tc, region_rows=16,
+                region_cols=rc, interpret=interpret, px=px, py=py),
             lambda: _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                g.astype(jnp.float32), interpret=interpret, px=px, py=py),
+                g.astype(jnp.float32), tile_cols=tc, region_rows=rows1,
+                region_cols=rc, interpret=interpret, px=px, py=py),
             lambda: patched_grads(cap_small),
             lambda: patched_grads(cap_big),
             xla_grads])

@@ -67,7 +67,7 @@ def main():
         return dt, compile_s, dn
 
     scene_rows = []
-    for B in (1, 2, 3):
+    for B in (1, 2, 3, 4):
         imgs, pm, dv = rig.batch(B)
         try:
             dt, compile_s, dn = run(imgs, pm, dv)

@@ -85,15 +85,24 @@ def _wild_homography(H, W, D, C=8):
     depth = jnp.asarray(np.broadcast_to(
         np.linspace(425, 935, D, dtype=np.float32)[None, :, None, None],
         (1, D, H, W)).copy())
-    for b in (2e-3, 4e-3, 8e-3, 1.6e-2, 3.2e-2):
+    tc, rc, rows1 = pw._window_policy(C, D)
+    for b in (2e-3, 4e-3, 8e-3, 1.6e-2, 3.2e-2, 6.4e-2):
         bad = np.eye(3, dtype=np.float32)
         bad[2, 0] = b
         px, py = geometry.project_to_src(
             jnp.asarray(bad[None]), jnp.zeros((1, 3)), depth[0][None],
             H, W)
-        if not pw.region_fits(px[0], py[0]) and not bool(pw.support_fits(
-                jnp.asarray(bad[None, None]), jnp.zeros((1, 1, 3)),
-                depth, H, W, C)):
+        rots = jnp.asarray(bad[None, None])
+        trs = jnp.zeros((1, 1, 3))
+        # the dispatch must reach rung 4 (full XLA demotion) under the
+        # POLICY window: not even the big patch tier may absorb it
+        flags = np.asarray(pw.support_fits(
+            rots, trs, depth, H, W, C, per_tile=True, tile_cols=tc,
+            region_rows=rows1, region_cols=rc))
+        _, cap_big = pw._patch_capacities(flags.size)
+        if (not pw.region_fits(px[0], py[0])
+                and not bool(pw.support_fits(rots, trs, depth, H, W, C))
+                and int((~flags).sum()) > cap_big):
             return bad, depth, px, py
     raise AssertionError("could not construct overflowing geometry")
 
