@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import pickle
 
 import numpy as np
 
@@ -64,7 +65,15 @@ def save_depths(args, scans):
     if args.loadckpt.endswith(".ckpt") and not args.loadckpt.endswith(".pkl"):
         try:
             params = load_torch_checkpoint(args.loadckpt)
-        except Exception:
+            print(f"loaded torch checkpoint {args.loadckpt}")
+        except (KeyError, ValueError, RuntimeError, EOFError,
+                pickle.UnpicklingError) as e:
+            # not a torch-format file (our own trainer also writes .ckpt):
+            # KeyError/ValueError = missing 'model' dict / bad state-dict
+            # names; UnpicklingError/EOFError/RuntimeError = not a
+            # torch-pickle stream at all
+            print(f"not a torch checkpoint ({type(e).__name__}); "
+                  f"loading as native trainer checkpoint")
             params = load_checkpoint(args.loadckpt)["params"]
     else:
         params = load_checkpoint(args.loadckpt)["params"]

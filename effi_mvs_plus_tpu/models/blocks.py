@@ -235,6 +235,12 @@ def _conv_nd_block_b(x, p, ctx, ob, stride=1, padding=1, relu=True,
                           for a in range(nd))
     if not _ob_fits(out_sizes, ob, stride, transpose):
         if transpose:
+            # only 3-D transpose convs carry block plans today; a 2-D one
+            # must fail loudly rather than run through the 3-D deconv
+            # (ADVICE r4 #1)
+            assert nd == 3, (
+                f"blocked transpose fallback only implemented for 3-D "
+                f"convs, got {nd}-D weight {w.shape}")
             return nn.deconv3d_block(x, p, ctx, stride=stride,
                                      padding=padding,
                                      output_padding=output_padding,

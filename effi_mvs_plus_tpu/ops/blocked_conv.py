@@ -213,13 +213,16 @@ def _out_sizes(S, k, s, p, transpose, output_padding):
 
 
 def blocked_conv_raw(x_b, w, stride, padding, out_block, n_in_blocks,
-                     out_sizes, transpose=False, output_padding=0):
+                     out_sizes, transpose=False):
     """Conv over an ALREADY-BLOCKED input; returns the BLOCKED output.
 
     x_b: (B, Sb..., prod(ib)*I) with ib = stride*out_block (forward) or
     out_block/stride (transpose); w: original torch-layout weight.
     n_in_blocks: x_b's spatial block counts; out_sizes: the torch output
-    pixel sizes (for right-padding the block grid).
+    pixel sizes (for right-padding the block grid) — for transpose convs
+    any output_padding must already be folded into out_sizes by the
+    caller (conv_blocked does; ADVICE r4 #3 made the contract explicit by
+    dropping the formerly-unused output_padding parameter).
     """
     nd = w.ndim - 2
     stride = _t(stride, nd)
@@ -272,8 +275,7 @@ def conv_blocked(x, w, b=None, stride=1, padding=0, out_block=1,
         else tuple(o * s for o, s in zip(out_block, stride))
     x_b = space_to_depth(x, ib)
     y_b = blocked_conv_raw(x_b, w, stride, padding, out_block,
-                           x_b.shape[1:-1], out_sizes, transpose,
-                           output_padding)
+                           x_b.shape[1:-1], out_sizes, transpose)
     y = depth_to_space(y_b, out_block, w.shape[-1], crop=out_sizes)
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -313,22 +313,30 @@ def _support_fit_mask(px, py, H, W, Hs, Ws, C,
 
 
 def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
-                 px=None, py=None, region_rows=REGION_ROWS,
+                 px=None, py=None, region_rows=None,
                  per_tile=False, tile_cols=None, region_cols=None):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
-    standalone diagnostic.  `depth_chunk` defaults to the same auto choice
-    the forward kernel makes FOR THE GIVEN region_rows (chunk-fits implies
-    per-plane-fits, so this predicate is also valid for the per-plane
-    backward kernel).  Pass px/py to reuse an already-computed projection
-    field.  With ``per_tile=True`` returns the (B*V, T) per-tile fit flags
-    instead of the global bool (the sparse-patch dispatch granularity)."""
+    standalone diagnostic.  Unspecified window knobs (tile_cols,
+    region_cols, region_rows) default to `_window_policy(C, D)` — the SAME
+    window the forward dispatch will actually run with (ADVICE r4 #2:
+    module-constant defaults could predict a different rung than the one
+    `_views_fwd_impl` executes); explicit values override.  `depth_chunk`
+    defaults to the same auto choice the forward kernel makes FOR THE
+    GIVEN region_rows (chunk-fits implies per-plane-fits, so this
+    predicate is also valid for the per-plane backward kernel).  Pass
+    px/py to reuse an already-computed projection field.  With
+    ``per_tile=True`` returns the (B*V, T) per-tile fit flags instead of
+    the global bool (the sparse-patch dispatch granularity)."""
     D = depth.shape[1]
+    tc_pol, rc_pol, rows1_pol = _window_policy(C, D)
     if tile_cols is None:
-        tile_cols = TILE_COLS
+        tile_cols = tc_pol
     if region_cols is None:
-        region_cols = REGION_COLS
+        region_cols = rc_pol
+    if region_rows is None:
+        region_rows = rows1_pol
     if px is None or py is None:
         px, py = _project_views(rots, transs, depth, H, W)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
