@@ -21,6 +21,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+# Every matmul in this module runs at HIGHEST precision.  On TPU the
+# default matmul precision truncates f32 operands to bf16 on the MXU;
+# for these geometry products the operands are pixel coordinates (up to
+# 1920 -> bf16 quantum 8 px) and intrinsics (fx ~2227 -> quantum 8), so
+# default precision quantises the projected warp coordinates to
+# multi-pixel granularity — a deterministic, spatially-correlated
+# disparity error that showed up as a ~40-100 mm systematic depth bias
+# at the T&T metric-scale rig (adjudicated round 5,
+# scripts/diag_tank_bias.py; CPU-f32 and TPU-HIGHEST agree to 0.1 mm).
+# These einsums are a few MFLOP per forward — HIGHEST costs nothing.
+_PREC = lax.Precision.HIGHEST
+
 
 def compose_projection(proj_2x4x4):
     """K·[R|t] composed into a single 4x4 (reference
@@ -31,7 +43,8 @@ def compose_projection(proj_2x4x4):
     """
     ext = proj_2x4x4[..., 0, :, :]
     K = proj_2x4x4[..., 1, :3, :3]
-    top = jnp.einsum("...ij,...jk->...ik", K, ext[..., :3, :4])
+    top = jnp.einsum("...ij,...jk->...ik", K, ext[..., :3, :4],
+                     precision=_PREC)
     return jnp.concatenate([top, ext[..., 3:4, :]], axis=-2)
 
 
@@ -68,8 +81,10 @@ def relative_projection(src_proj, ref_proj):
     """
     m_src, t_src = src_proj[..., :3, :3], src_proj[..., :3, 3]
     m_ref, t_ref = ref_proj[..., :3, :3], ref_proj[..., :3, 3]
-    rot = jnp.einsum("...ij,...jk->...ik", m_src, inv3x3(m_ref))
-    trans = t_src - jnp.einsum("...ij,...j->...i", rot, t_ref)
+    rot = jnp.einsum("...ij,...jk->...ik", m_src, inv3x3(m_ref),
+                     precision=_PREC)
+    trans = t_src - jnp.einsum("...ij,...j->...i", rot, t_ref,
+                               precision=_PREC)
     return rot, trans
 
 
@@ -135,7 +150,8 @@ def project_to_src(rot, trans, depth, height, width):
     """
     B, D, H, W = depth.shape
     grid = pixel_grid(height, width, depth.dtype)           # (3, HW)
-    ray = jnp.einsum("bij,jp->bip", rot, grid)              # (B,3,HW)
+    ray = jnp.einsum("bij,jp->bip", rot, grid,
+                     precision=_PREC)                       # (B,3,HW)
     xyz = (ray[:, :, None, :] * depth.reshape(B, 1, D, H * W)
            + trans[:, :, None, None])                       # (B,3,D,HW)
     z = xyz[:, 2]

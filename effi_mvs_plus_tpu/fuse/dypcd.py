@@ -39,6 +39,12 @@ from effi_mvs_plus_tpu.ops import bilinear_gather
 from effi_mvs_plus_tpu.config import (DypcdParams, TankParams,  # noqa: F401
                                       TANK_FILTER_CONFIGS)
 
+# Coordinate-geometry matmuls run at HIGHEST precision: on TPU the default
+# matmul precision truncates f32 operands to bf16 (pixel coords up to 1920
+# quantise to 8-px steps) — the round-5 T&T bias adjudication
+# (core/geometry.py _PREC) applies to the fusion reprojection chain too.
+_PREC = lax.Precision.HIGHEST
+
 
 def _cam_rays(K_inv, depth):
     """Back-project a depth map: (3,3) K^-1, (H,W) depth -> (H,W,3) cam."""
@@ -46,7 +52,7 @@ def _cam_rays(K_inv, depth):
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     pix = jnp.stack([x, y, jnp.ones_like(x)], -1)
-    return jnp.einsum("ij,hwj->hwi", K_inv, pix) * depth[..., None]
+    return jnp.einsum("ij,hwj->hwi", K_inv, pix, precision=_PREC) * depth[..., None]
 
 
 def _rigid_inv(E):
@@ -54,7 +60,9 @@ def _rigid_inv(E):
     accuracy cliff of jnp.linalg.inv, see core.geometry.inv3x3)."""
     R = E[:3, :3]
     t = E[:3, 3]
-    top = jnp.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+    top = jnp.concatenate(
+        [R.T, (-jnp.matmul(R.T, t, precision=_PREC))[:, None]],
+        axis=1)
     return jnp.concatenate([top, E[3:4, :]], axis=0)
 
 
@@ -63,13 +71,13 @@ def _reproject_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
     H, W = depth_ref.shape
     K_ref_inv = inv3x3(K_ref)
     K_src_inv = inv3x3(K_src)
-    rel = E_src @ _rigid_inv(E_ref)
-    rel_back = E_ref @ _rigid_inv(E_src)
+    rel = jnp.matmul(E_src, _rigid_inv(E_ref), precision=_PREC)
+    rel_back = jnp.matmul(E_ref, _rigid_inv(E_src), precision=_PREC)
     xyz_ref = _cam_rays(K_ref_inv, depth_ref)                       # (H,W,3)
-    xyz_src = (jnp.einsum("ij,hwj->hwi", rel[:3, :3], xyz_ref)
+    xyz_src = (jnp.einsum("ij,hwj->hwi", rel[:3, :3], xyz_ref, precision=_PREC)
                + rel[:3, 3])
     z = xyz_src[..., 2]
-    kxyz = jnp.einsum("ij,hwj->hwi", K_src, xyz_src)
+    kxyz = jnp.einsum("ij,hwj->hwi", K_src, xyz_src, precision=_PREC)
     x_src = kxyz[..., 0] / kxyz[..., 2]
     y_src = kxyz[..., 1] / kxyz[..., 2]
 
@@ -78,11 +86,11 @@ def _reproject_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
                               y_src.reshape(1, -1)).reshape(H, W)
 
     pix_src = jnp.stack([x_src, y_src, jnp.ones_like(x_src)], -1)
-    xyz_src2 = jnp.einsum("ij,hwj->hwi", K_src_inv, pix_src) * sampled[..., None]
-    xyz_rep = (jnp.einsum("ij,hwj->hwi", rel_back[:3, :3], xyz_src2)
+    xyz_src2 = jnp.einsum("ij,hwj->hwi", K_src_inv, pix_src, precision=_PREC) * sampled[..., None]
+    xyz_rep = (jnp.einsum("ij,hwj->hwi", rel_back[:3, :3], xyz_src2, precision=_PREC)
                + rel_back[:3, 3])
     depth_rep = xyz_rep[..., 2]
-    kxyz_rep = jnp.einsum("ij,hwj->hwi", K_ref, xyz_rep)
+    kxyz_rep = jnp.einsum("ij,hwj->hwi", K_ref, xyz_rep, precision=_PREC)
     zr = kxyz_rep[..., 2]
     zr = jnp.where(zr == 0, zr + 1e-5, zr)
     return depth_rep, kxyz_rep[..., 0] / zr, kxyz_rep[..., 1] / zr

@@ -32,9 +32,17 @@ stacked (2, 4, 4) extrinsics+intrinsics as in the dataset contract.
 from __future__ import annotations
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 from effi_mvs_plus_tpu.ops import bilinear_gather
+
+# Coordinate-geometry matmuls run at HIGHEST precision: on TPU the default
+# matmul precision truncates f32 operands to bf16 (pixel coords up to 1920
+# quantise to 8-px steps) — the round-5 T&T bias adjudication
+# (core/geometry.py _PREC) applies to the fusion reprojection chain too.
+_PREC = lax.Precision.HIGHEST
+
 
 
 def compose_proj(proj):
@@ -44,7 +52,7 @@ def compose_proj(proj):
     proj = jnp.asarray(proj, jnp.float32)
     if proj.ndim >= 3 and proj.shape[-3] == 2:
         E, K = proj[..., 0, :, :], proj[..., 1, :, :]
-        top = jnp.einsum("...ij,...jk->...ik", K[..., :3, :3], E[..., :3, :4])
+        top = jnp.einsum("...ij,...jk->...ik", K[..., :3, :3], E[..., :3, :4], precision=_PREC)
         return jnp.concatenate([top, E[..., 3:4, :]], axis=-2)
     return proj
 
@@ -68,7 +76,7 @@ def generate_points_from_depth(depth, proj):
     rot, trans = inv[:3, :3], inv[:3, 3]
     x, y = _int_grid(H, W)
     pix = jnp.stack([x, y, jnp.ones_like(x)], -1)           # (H, W, 3)
-    ray = jnp.einsum("ij,hwj->hwi", rot, pix)
+    ray = jnp.einsum("ij,hwj->hwi", rot, pix, precision=_PREC)
     return ray * depth[..., None] + trans
 
 
@@ -83,11 +91,12 @@ def homo_warping(src_fea, src_proj, ref_proj, depth):
     guard, coords are normalized align_corners=True-style but sampled
     align_corners=False-style (see module docstring), zeros padding."""
     H, W, _ = src_fea.shape
-    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    proj = jnp.matmul(src_proj, jnp.linalg.inv(ref_proj),
+                  precision=_PREC)
     rot, trans = proj[:3, :3], proj[:3, 3]
     x, y = _int_grid(H, W)
     pix = jnp.stack([x, y, jnp.ones_like(x)], -1)
-    xyz = jnp.einsum("ij,hwj->hwi", rot, pix) * depth[..., None] + trans
+    xyz = jnp.einsum("ij,hwj->hwi", rot, pix, precision=_PREC) * depth[..., None] + trans
     nx = xyz[..., 0] / xyz[..., 2] / ((W - 1) / 2.0) - 1.0
     ny = xyz[..., 1] / xyz[..., 2] / ((H - 1) / 2.0) - 1.0
     # grid_sample default align_corners=False pixel mapping

@@ -33,11 +33,19 @@ from __future__ import annotations
 import functools
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 from effi_mvs_plus_tpu.core.geometry import inv3x3
 from effi_mvs_plus_tpu.fuse.dypcd import _rigid_inv
 from effi_mvs_plus_tpu.ops import bilinear_gather
+
+# Coordinate-geometry matmuls run at HIGHEST precision: on TPU the default
+# matmul precision truncates f32 operands to bf16 (pixel coords up to 1920
+# quantise to 8-px steps) — the round-5 T&T bias adjudication
+# (core/geometry.py _PREC) applies to the fusion reprojection chain too.
+_PREC = lax.Precision.HIGHEST
+
 
 
 def _centered_grid(H, W):
@@ -51,14 +59,14 @@ def _img2cam(x, y, depth, K_inv):
     """(H,W) centered pixel coords + depth -> (H,W,3) cam points, with the
     reference's normalize-then-scale (÷ (z+1e-9), fusion.py:23-25)."""
     pix = jnp.stack([x, y, jnp.ones_like(x)], -1)
-    ray = jnp.einsum("ij,hwj->hwi", K_inv, pix)
+    ray = jnp.einsum("ij,hwj->hwi", K_inv, pix, precision=_PREC)
     ray = ray / (ray[..., 2:3] + 1e-9)
     return ray * depth[..., None]
 
 
 def _cam2img(xyz, K):
     """(H,W,3) cam points -> centered pixel coords (x, y), ÷(z+1e-9)."""
-    proj = jnp.einsum("ij,hwj->hwi", K, xyz)
+    proj = jnp.einsum("ij,hwj->hwi", K, xyz, precision=_PREC)
     z = proj[..., 2] + 1e-9
     return proj[..., 0] / z, proj[..., 1] / z
 
@@ -73,12 +81,13 @@ def _reproj_field_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
     xs, ys = _centered_grid(H, W)
     K_ref_inv = inv3x3(K_ref)
     K_src_inv = inv3x3(K_src)
-    src2ref = E_ref @ _rigid_inv(E_src)      # world hop composed rigidly
-    ref2src = E_src @ _rigid_inv(E_ref)
+    src2ref = jnp.matmul(E_ref, _rigid_inv(E_src),
+                     precision=_PREC)     # world hop composed rigidly
+    ref2src = jnp.matmul(E_src, _rigid_inv(E_ref), precision=_PREC)
 
     # field on SOURCE pixels: project each src pixel into the ref camera
     xyz_src = _img2cam(xs, ys, depth_src, K_src_inv)
-    xyz_in_ref = (jnp.einsum("ij,hwj->hwi", src2ref[:3, :3], xyz_src)
+    xyz_in_ref = (jnp.einsum("ij,hwj->hwi", src2ref[:3, :3], xyz_src, precision=_PREC)
                   + src2ref[:3, 3])
     x_ref, y_ref = _cam2img(xyz_in_ref, K_ref)
     field = jnp.stack([x_ref, y_ref, xyz_in_ref[..., 2]], -1)   # (H,W,3)
@@ -86,7 +95,7 @@ def _reproj_field_one(depth_ref, K_ref, E_ref, depth_src, K_src, E_src):
     # project_img: ref pixels -> src coords via the REF depth map, then
     # sample the field with the /size*2-1 normalization quirk
     xyz_ref = _img2cam(xs, ys, depth_ref, K_ref_inv)
-    xyz_in_src = (jnp.einsum("ij,hwj->hwi", ref2src[:3, :3], xyz_ref)
+    xyz_in_src = (jnp.einsum("ij,hwj->hwi", ref2src[:3, :3], xyz_ref, precision=_PREC)
                   + ref2src[:3, 3])
     wx, wy = _cam2img(xyz_in_src, K_src)
     nx = jnp.clip(wx / W * 2.0 - 1.0, -1.1, 1.1)

@@ -425,7 +425,17 @@ def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
     detached at the top of every iteration exactly like the reference.
 
     Returns (hidden, mask_logits, [inv_depth per iter]).
+
+    The inverse-depth iterate and its per-iteration deltas accumulate in
+    f32 regardless of the compute dtype: a bf16 carry quantises the
+    estimate to ~0.4% relative (≈5.5 mm at T&T metric scale — a third of
+    the stage-3 hypothesis interval) and the refinement stages then
+    DIVERGE instead of converging (the ~41 mm systematic bias adjudicated
+    round 5, scripts/diag_tank_bias.py).  Only the conv inputs are cast
+    down, so every matmul stays on the bf16 MXU fast path.
     """
+    cdt = context.dtype
+    inv_depth = inv_depth.astype(jnp.float32)
     inv_depths = []
     for i in range(seq_len):
         inv_depth = jax.lax.stop_gradient(inv_depth)
@@ -433,13 +443,14 @@ def update_block(hidden, get_cost, inv_depth, context, p, seq_len,
         cost = get_cost(depth, i)
         with scope(ctx, f"iter{i}"):
             with scope(ctx, "encoder"):
-                x = projection_input(inv_depth, cost, context, p["encoder"],
-                                     ctx, impl=enc_impl, stage=stage)
+                x = projection_input(inv_depth.astype(cdt), cost, context,
+                                     p["encoder"], ctx, impl=enc_impl,
+                                     stage=stage)
             hidden = gru_step(hidden, x, p["depth_gru"], ctx, impl=gru_impl)
             with scope(ctx, "depth_head"):
                 delta = depth_head(hidden, p["depth_head"], ctx,
                                    impl=enc_impl, stage=stage)
-        inv_depth = inv_depth + delta
+        inv_depth = inv_depth + delta.astype(jnp.float32)
         inv_depths.append(inv_depth)
     mask = upsample_mask(hidden, p, impl=enc_impl, stage=stage)
     return hidden, mask, inv_depths

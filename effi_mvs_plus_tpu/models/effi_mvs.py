@@ -200,7 +200,7 @@ def forward(params, imgs, proj_matrices, depth_values,
             depth_hyps = 1.0 / drs_disp                 # (B,D,h,w) descending
             rots, trs = _relative_projections(P)
             sims = par.constrain_views_volume(_warp_correlate_views(
-                cfg, ref_fea, f[:, 1:], rots, trs, depth_hyps.astype(dt)))
+                cfg, ref_fea, f[:, 1:], rots, trs, depth_hyps))
             # all source views at once (the reference loops views,
             # Effi_MVS_plus.py:32-61; one batched conv launch is the
             # TPU-efficient shape, and nn.stat_groups keeps the per-view
@@ -213,7 +213,7 @@ def forward(params, imgs, proj_matrices, depth_values,
             with scope(ctx, "PixelwiseNet"), nn.stat_groups(ctx, V - 1):
                 vw = blocks.pixelwise_net(
                     par.constrain_view_batch(
-                        entropy.reshape(B * (V - 1), h, w, 1)),
+                        entropy.reshape(B * (V - 1), h, w, 1).astype(dt)),
                     params["PixelwiseNet"], ctx,
                     impl=enc_impl)                      # (B(V-1),h,w,1)
             vw = vw.reshape(B, V - 1, h, w)
@@ -226,8 +226,8 @@ def forward(params, imgs, proj_matrices, depth_values,
 
             with scope(ctx, "cost_regularization"):
                 prob_pre, _pro = blocks.cost_reg_net(
-                    similarity, params["cost_regularization"], ctx,
-                    impl=reg_impl)
+                    similarity.astype(dt), params["cost_regularization"],
+                    ctx, impl=reg_impl)
             prob = jax.nn.softmax(prob_pre.astype(jnp.float32), axis=1)
             init_depth = ops.depth_regression(prob, depth_hyps)
             conf = ops.photometric_confidence(prob)
@@ -251,7 +251,7 @@ def forward(params, imgs, proj_matrices, depth_values,
 
             rots, trs = _relative_projections(P)
             sims = par.constrain_views_volume(_warp_correlate_views(
-                cfg, ref_fea, f[:, 1:], rots, trs, depth_samples.astype(dt)))
+                cfg, ref_fea, f[:, 1:], rots, trs, depth_samples))
             vw_ = view_weights[:, :, None]              # (B,V-1,1,h,w)
             sim_sum = jnp.sum(sims * vw_, axis=1)       # (B,8,h,w)
             w_sum = jnp.sum(vw_, axis=1)                # (B,1,h,w)
@@ -305,7 +305,7 @@ def forward(params, imgs, proj_matrices, depth_values,
         with scope(ctx, f"update_block_depth{s + 1}"):
             _, mask, inv_depth_list = blocks.update_block(
                 par.constrain_spatial(hiddens[s].astype(dt)), get_cost,
-                inv_cur_depth[..., None].astype(dt), contexts[s].astype(dt),
+                inv_cur_depth[..., None], contexts[s].astype(dt),
                 params[f"update_block_depth{s + 1}"], cfg.gru_iters[s],
                 scale4, ctx, gru_impl=cfg.gru_impl, enc_impl=enc_impl,
                 stage=s + 1)

@@ -32,8 +32,10 @@ def build_batch(scale=1):
     from effi_mvs_plus_tpu.data import cams as camio
     if scale == 1:
         return rig.batch(1)
+    scale = float(scale)
     from synth_scene import _render_plane, make_texture
-    H, W = rig.H // scale, rig.W // scale
+    # snap to multiples of 64 (3-level U-Net at 1/8 res needs div-by-4)
+    H, W = int(rig.H / scale) // 64 * 64, int(rig.W / scale) // 64 * 64
     K, exts = rig.cameras()
     K = K.copy()
     K[:2] /= scale
@@ -60,11 +62,22 @@ def main():
     ap.add_argument("--warp", default="auto", choices=["auto", "pallas", "xla"])
     ap.add_argument("--gru", default="auto", choices=["auto", "pallas", "xla"])
     ap.add_argument("--reg", default="auto", choices=["auto", "blocked", "xla"])
-    ap.add_argument("--scale", type=int, default=1)
+    ap.add_argument("--scale", type=float, default=1)
     ap.add_argument("--ckpt", default="model_tank.ckpt")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (f32 full scale OOMs the v5e HBM)")
+    ap.add_argument("--prec", default=None,
+                    choices=[None, "float32", "tensorfloat32", "bfloat16"],
+                    help="jax default matmul precision override")
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.prec:
+        jax.config.update("jax_default_matmul_precision", args.prec)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
