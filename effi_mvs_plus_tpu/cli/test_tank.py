@@ -33,6 +33,10 @@ def build_parser(profile_name="tank_eval"):
     p.add_argument("--CostNum", type=int)
     p.add_argument("--numdepth", type=int)
     p.add_argument("--num_view", type=int)
+    # reference tank.py:137 hardcodes 1920x1056; exposed so synthetic
+    # rigs / CI can run the same chain at reduced resolution
+    p.add_argument("--max_h", type=int, default=1056)
+    p.add_argument("--max_w", type=int, default=1920)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--shard_views", action="store_true",
                    help="multi-chip single-map mode: shard the source-view"
@@ -41,6 +45,13 @@ def build_parser(profile_name="tank_eval"):
                         " per-chip HBM for the FPN stack drops ~V/n-fold")
     p.add_argument("--skip_depth", action="store_true")
     p.add_argument("--skip_fusion", action="store_true")
+    # optional overrides of the per-scene filter config (reference
+    # test_tank.py:600-615 dict stays the deployed default; synthetic
+    # rigs at other scales need rig-appropriate thresholds)
+    p.add_argument("--dist_filter", type=float, default=None)
+    p.add_argument("--depth_filter", type=float, default=None)
+    p.add_argument("--prob_threshold", type=float, default=None)
+    p.add_argument("--dh_view_num", type=int, default=None)
     apply_profile_defaults(p, get_profile(profile_name))
     return p
 
@@ -62,7 +73,8 @@ def save_depths(args):
                              shard_views=getattr(args, "shard_views", False))
     for scene in args.scenes:
         ds = TanksDataset(args.testpath, [scene], args.num_view,
-                          args.numdepth)
+                          args.numdepth,
+                          target_wh=(args.max_w, args.max_h))
         loader = Loader(ds, args.batch_size, num_workers=4)
         stats = engine.save_scene_depths(loader, args.outdir, verbose=False)
         print(f"{scene}: {stats['maps']} maps, "
@@ -83,7 +95,14 @@ def fuse_scene_tank(args, scene):
     pair = read_pair_file(
         os.path.join(args.testpath, split, scene, "pair.txt"))
     out_folder = os.path.join(args.outdir, scene)
-    params = TANK_FILTER_CONFIGS.get(scene)
+    from effi_mvs_plus_tpu.config import TankParams
+    params = TANK_FILTER_CONFIGS.get(scene, TankParams())
+    overrides = {k: getattr(args, k) for k in
+                 ("dist_filter", "depth_filter", "prob_threshold",
+                  "dh_view_num") if getattr(args, k, None) is not None}
+    if overrides:
+        import dataclasses
+        params = dataclasses.replace(params, **overrides)
 
     # each view is read ~10x per scene (once per ref using it as source);
     # cache decoded views, bounded so a 1920x1056 scene stays ~400 MB
