@@ -68,13 +68,26 @@ TILE_ROWS = 8
 # geometry does not.  Env overrides are for A/B probes.
 TILE_COLS = int(os.environ.get("EFFI_TILE_COLS", "128"))
 # Rung-1 region rows (rung 0 always tries 16).  The vertical budget is
-# rows-3 (align_y=1 for C in {8,16,32}); measured chunked spans at the
-# T&T rig are 13.1-15.5, so a 20-row rung-1 (budget 17) covers what 24
-# covered there at 5/6 the matmul height — the sparse patch + XLA rungs
-# still back-stop anything taller.
+# rows - 1 - ANCHOR_BACKOFF (align_y=1 for C in {8,16,32}); measured
+# chunked spans at the T&T rig are 13.1-15.5 raw, so with backoff 0 the
+# 16-row rung-0 (budget 15) covers most chunks and the 20/24-row rung-1
+# backs up the tall ones — the sparse patch + XLA rungs still back-stop
+# anything taller.
 REGION_ROWS = int(os.environ.get("EFFI_REGION_ROWS", "24"))
 REGION_COLS = int(os.environ.get("EFFI_REGION_COLS", "384"))
-PATCH_ENABLED = True       # rung-2 sparse overflow patch (debug kill-switch)
+PATCH_ENABLED = True       # sparse overflow patch rungs (debug kill-switch)
+LADDER_PATCH16 = os.environ.get("EFFI_LADDER", "legacy") == "patch16"
+                           # ladder shape A/B (round 5).  'patch16':
+                           # rows16 with escalating patch tiers BEFORE
+                           # any taller kernel — [16, 16+ps, 16+pb,
+                           # rows1+pb, XLA].  Motivated by measured rung
+                           # occupancy on non-planar scenes
+                           # (scripts/probe_rung_occupancy_scene.py):
+                           # occlusion edges flag only 4-6% of tiles at
+                           # rows16, but one bad tile demotes the legacy
+                           # ladder to the 25-50%-more-FLOPs rows20/24
+                           # kernel.  'legacy': [16, rows1, rows1+ps,
+                           # rows1+pb, XLA] (rounds 3-4).
 DISPATCH_NESTED = os.environ.get("EFFI_DISPATCH_NESTED", "") == "1"
                            # probe knob: nested 2-way conds instead of the
                            # flat 5-way lax.switch (see _views_fwd_impl)
@@ -99,6 +112,19 @@ ALIGN_X = 128              # region-origin x granule.  Mosaic can only
                            # so narrowing the window means narrowing
                            # TILE_COLS, not the alignment.
 ALIGN_Y = 8                # sublane granule: oy*C must be a multiple of 8
+ANCHOR_BACKOFF = int(os.environ.get("EFFI_ANCHOR_BACKOFF", "0"))
+                           # rows/cols the region origin backs off below
+                           # floor(min contributing tap).  0 is exact: the
+                           # leftmost/topmost bilinear tap IS floor(min),
+                           # and the kernel + fit predicate + patch all
+                           # share the same px/py buffer and the same
+                           # floor/origin arithmetic, so no slack is
+                           # needed for consistency.  Each back-off row
+                           # costs one row of vertical fit budget — at
+                           # the T&T rig the old value (2) was exactly
+                           # what pushed every stage off the 16-row rung
+                           # onto rows20/24 (+25-50% warp matmul FLOPs,
+                           # round-5 trace).  Env knob for A/B probes.
 
 
 def _pad_to(x, mults, mode="edge"):
@@ -226,10 +252,10 @@ def _origin_xy(px, py, Hs, Ws, region_rows, region_cols, C,
     big = jnp.asarray(1e6, px.dtype)
     mx = jnp.where(valid, px, big).min(axis=-1)
     my = jnp.where(valid, py, big).min(axis=-1)
-    ox = jnp.clip(jnp.floor(jnp.clip(mx, -big, big)).astype(jnp.int32) - 2,
-                  0, max(Ws - region_cols, 0))
-    oy = jnp.clip(jnp.floor(jnp.clip(my, -big, big)).astype(jnp.int32) - 2,
-                  0, max(Hs - region_rows, 0))
+    ox = jnp.clip(jnp.floor(jnp.clip(mx, -big, big)).astype(jnp.int32)
+                  - ANCHOR_BACKOFF, 0, max(Ws - region_cols, 0))
+    oy = jnp.clip(jnp.floor(jnp.clip(my, -big, big)).astype(jnp.int32)
+                  - ANCHOR_BACKOFF, 0, max(Hs - region_rows, 0))
     ox = _align_down(ox, ALIGN_X)
     align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
     oy = _align_down(oy, align_y)
@@ -368,8 +394,9 @@ def region_fits(px, py, region_rows=REGION_ROWS, region_cols=REGION_COLS,
     span_x = pxf.max(axis=2) - pxf.min(axis=2)
     span_y = pyf.max(axis=2) - pyf.min(axis=2)
     align_y = max(1, ALIGN_Y // np.gcd(ALIGN_Y, C))
-    return bool((span_x <= region_cols - 3 - (ALIGN_X - 1)).all()
-                and (span_y <= region_rows - 3 - (align_y - 1)).all())
+    slack = 1 + ANCHOR_BACKOFF           # bilinear far tap + anchor back-off
+    return bool((span_x <= region_cols - slack - (ALIGN_X - 1)).all()
+                and (span_y <= region_rows - slack - (align_y - 1)).all())
 
 
 def _kernel(origins_ref, px_ref, py_ref, ref_ref, src_ref, out_ref,
@@ -1051,6 +1078,9 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                 interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
         return _views_xla(ref_fea, src_feas, rots, transs, depth,
                           groups).astype(ref_fea.dtype)
+    if LADDER_PATCH16 and PATCH_ENABLED:
+        return _views_fwd_patch16(ref_fea, src_feas, rots, transs, depth,
+                                  groups, interpret, tc, rc, rows1, px, py)
     fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
                           region_rows=16, tile_cols=tc, region_cols=rc)
     flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
@@ -1130,6 +1160,57 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                            groups).astype(ref_fea.dtype)])
 
 
+def _views_fwd_patch16(ref_fea, src_feas, rots, transs, depth, groups,
+                       interpret, tc, rc, rows1, px, py):
+    """Round-5 ladder: rows16 with escalating sparse-patch tiers before
+    any taller kernel — [16, 16+patch_small, 16+patch_big,
+    rows1+patch_big, XLA].
+
+    Measured rung occupancy on non-planar scenes (occlusion edges at
+    both rigs, scripts/probe_rung_occupancy_scene.py 2026-08-20): only
+    4-6% of (view, tile)s overflow the 16-row window (the depth-edge
+    tiles), but the legacy ladder's all-tiles fits16 predicate then
+    demotes the WHOLE launch to rows20/24 (+25-50% matmul FLOPs).  Here
+    those tiles are recomputed with the exact gather math instead;
+    rows1+patch_big remains the backstop for geometry where rows16
+    overflows everywhere but rows1 fits (large uniform slants), and the
+    XLA path backs everything else.
+    """
+    H, W, C = ref_fea.shape[1:]
+    flags16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                           per_tile=True, region_rows=16, tile_cols=tc,
+                           region_cols=rc)               # (B*V, T)
+    flags1 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
+                          per_tile=True, tile_cols=tc, region_rows=rows1,
+                          region_cols=rc)
+    n16 = jnp.sum(~flags16)
+    n1 = jnp.sum(~flags1)
+    cap_small, cap_big = _patch_capacities(flags16.size)
+    rung = jnp.where(n16 == 0, 0,
+                     jnp.where(n16 <= cap_small, 1,
+                               jnp.where(n16 <= cap_big, 2,
+                                         jnp.where(n1 <= cap_big, 3, 4))))
+
+    def _kernel_out(rows):
+        return _plane_sweep_correlate_views(
+            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+            tile_cols=tc, region_rows=rows, region_cols=rc,
+            interpret=interpret, px=px, py=py)
+
+    def _patched(rows, flags, cap):
+        return _patch_overflow_tiles(
+            _kernel_out(rows), ref_fea, src_feas, px, py, flags, cap,
+            tile_cols=tc)
+
+    return lax.switch(rung, [
+        lambda: _kernel_out(16).astype(ref_fea.dtype),
+        lambda: _patched(16, flags16, cap_small).astype(ref_fea.dtype),
+        lambda: _patched(16, flags16, cap_big).astype(ref_fea.dtype),
+        lambda: _patched(rows1, flags1, cap_big).astype(ref_fea.dtype),
+        lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
+                           groups).astype(ref_fea.dtype)])
+
+
 def _views_fwd(ref_fea, src_feas, rots, transs, depth, groups, interpret):
     out = _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
                           interpret)
@@ -1179,23 +1260,25 @@ def _views_bwd(groups, interpret, res, g):
                                    jnp.where(patch_small, 2,
                                              jnp.where(patch_big, 3, 4))))
 
-        def patched_grads(capacity):
+        def patched_grads(capacity, rows=None, flags=None):
+            rows = rows1 if rows is None else rows
+            flags = flags24 if flags is None else flags
             P = TILE_ROWS * tc
             gf32 = g.astype(jnp.float32)
             # per-pixel fit mask from the per-tile flags
             Hp = -(-H // TILE_ROWS) * TILE_ROWS
             Wp = -(-W // tc) * tc
             Th, Tw = Hp // TILE_ROWS, Wp // tc
-            m = flags24.reshape(B * V, Th, 1, Tw, 1)
+            m = flags.reshape(B * V, Th, 1, Tw, 1)
             m = jnp.broadcast_to(m, (B * V, Th, TILE_ROWS, Tw, tc))
             m = m.reshape(B * V, Hp, Wp)[:, :H, :W] \
                 .reshape(B, V, 1, H, W)
             d_ref_k, d_src_k = _plane_sweep_correlate_views_bwd(
                 ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                jnp.where(m, gf32, 0.0), tile_cols=tc, region_rows=rows1,
+                jnp.where(m, gf32, 0.0), tile_cols=tc, region_rows=rows,
                 region_cols=rc, interpret=interpret, px=px, py=py)
             bv, t, px_sel, py_sel, T = _tile_select(
-                px, py, flags24, capacity, H, W, tile_cols=tc)
+                px, py, flags, capacity, H, W, tile_cols=tc)
             gp = _pad_to(gf32.reshape(B * V * D, H, W),
                          {1: TILE_ROWS, 2: tc}, mode="constant")
             gtf = _tile_flat(gp, TILE_ROWS, tc).reshape(
@@ -1203,7 +1286,7 @@ def _views_bwd(groups, interpret, res, g):
             g_sel = gtf[bv, :, t]                          # (K, D, P)
             # zero surplus selections that landed on fitting tiles (their
             # gradient already went through the kernel)
-            sel_flagged = ~flags24.reshape(-1)[bv * T + t]
+            sel_flagged = ~flags.reshape(-1)[bv * T + t]
             g_sel = jnp.where(sel_flagged[:, None, None], g_sel, 0.0)
             corr, vjp = jax.vjp(
                 lambda rf, sf: _exact_tiles_corr(rf, sf, px_sel, py_sel,
@@ -1213,15 +1296,36 @@ def _views_bwd(groups, interpret, res, g):
             return (d_ref_k + d_ref_p.astype(d_ref_k.dtype),
                     d_src_k + d_src_p.astype(d_src_k.dtype))
 
+        def bwd_kernel(rows):
+            return _plane_sweep_correlate_views_bwd(
+                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
+                g.astype(jnp.float32), tile_cols=tc, region_rows=rows,
+                region_cols=rc, interpret=interpret, px=px, py=py)
+
+        if LADDER_PATCH16 and PATCH_ENABLED:
+            # mirror of _views_fwd_patch16 (same rung thresholds, so
+            # forward values and gradients take matching paths)
+            flags16 = support_fits(rots, transs, depth, H, W, C, px=px,
+                                   py=py, per_tile=True, region_rows=16,
+                                   tile_cols=tc, region_cols=rc)
+            n16 = jnp.sum(~flags16)
+            n1 = jnp.sum(~flags24)
+            rung16 = jnp.where(
+                n16 == 0, 0,
+                jnp.where(n16 <= cap_small, 1,
+                          jnp.where(n16 <= cap_big, 2,
+                                    jnp.where(n1 <= cap_big, 3, 4))))
+            d_ref, d_src = lax.switch(rung16, [
+                lambda: bwd_kernel(16),
+                lambda: patched_grads(cap_small, rows=16, flags=flags16),
+                lambda: patched_grads(cap_big, rows=16, flags=flags16),
+                lambda: patched_grads(cap_big),
+                xla_grads])
+            return d_ref, d_src, None, None, None
+
         d_ref, d_src = lax.switch(rung, [
-            lambda: _plane_sweep_correlate_views_bwd(
-                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                g.astype(jnp.float32), tile_cols=tc, region_rows=16,
-                region_cols=rc, interpret=interpret, px=px, py=py),
-            lambda: _plane_sweep_correlate_views_bwd(
-                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                g.astype(jnp.float32), tile_cols=tc, region_rows=rows1,
-                region_cols=rc, interpret=interpret, px=px, py=py),
+            lambda: bwd_kernel(16),
+            lambda: bwd_kernel(rows1),
             lambda: patched_grads(cap_small),
             lambda: patched_grads(cap_big),
             xla_grads])
