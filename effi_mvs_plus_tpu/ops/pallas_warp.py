@@ -80,14 +80,19 @@ LADDER_PATCH16 = os.environ.get("EFFI_LADDER", "legacy") == "patch16"
                            # ladder shape A/B (round 5).  'patch16':
                            # rows16 with escalating patch tiers BEFORE
                            # any taller kernel — [16, 16+ps, 16+pb,
-                           # rows1+pb, XLA].  Motivated by measured rung
-                           # occupancy on non-planar scenes
-                           # (scripts/probe_rung_occupancy_scene.py):
-                           # occlusion edges flag only 4-6% of tiles at
-                           # rows16, but one bad tile demotes the legacy
-                           # ladder to the 25-50%-more-FLOPs rows20/24
-                           # kernel.  'legacy': [16, rows1, rows1+ps,
-                           # rows1+pb, XLA] (rounds 3-4).
+                           # rows1+pb, XLA].  MEASURED AND REJECTED as
+                           # default (2026-08-20, multi-depth occlusion
+                           # scene at the T&T rig): 2.109 vs legacy
+                           # 2.204 maps/s.  The patch gather cost scales
+                           # with static CAPACITY; at the measured 4-6%
+                           # overflow the big tier (12.5%) costs more
+                           # than the 25-50% larger rows20/24 matmul it
+                           # avoids (stage-3 full-gather path is ~60
+                           # ms/view vs ~2 ms kernel, so even a 4.5%
+                           # patch ≈ 27 ms/view-set > the 4.5 ms FLOP
+                           # saving).  'legacy' ([16, rows1, rows1+ps,
+                           # rows1+pb, XLA]) stays the default; knob kept
+                           # for future re-evaluation at other rigs.
 DISPATCH_NESTED = os.environ.get("EFFI_DISPATCH_NESTED", "") == "1"
                            # probe knob: nested 2-way conds instead of the
                            # flat 5-way lax.switch (see _views_fwd_impl)
