@@ -37,13 +37,17 @@ def main():
         shutil.rmtree(WORK)
     os.makedirs(WORK)
 
-    # full deployment point; T&T-class FOV (tank.py native cams ~1.16*W)
+    # full deployment point; T&T-class FOV (tank.py native cams ~1.16*W).
+    # Only the DEPLOYED Horse filter params run at full scale: at 1056p
+    # the cross-view consistency is sub-mm, the geo mask keeps 96-99.9%
+    # of pixels, and the sub-2 mm ladder is the canonical config.  (A
+    # rig-scaled depth_filter=200 run keeps ~22M points and its chamfer
+    # eval OOMs the 125 GB host — the permissive ladder is exercised at
+    # CI scale by tests/test_e2e_tank_accuracy.py instead.)
     common = dict(H=1056, W=1920, views=11, num_view=11, focal_mult=1.16,
                   gt_spacing_mm=4.0)
     runs = {}
-    # 1st run renders + infers; 2nd reuses the saved depth maps
-    for tag, df, skip in (("deployed_horse_params", 6000.0, False),
-                          ("rig_scaled_ladder", 200.0, True)):
+    for tag, df, skip in (("deployed_horse_params", 6000.0, False),):
         stats = T.run_tank_chain(WORK, depth_filter=df, skip_depth=skip,
                                  **common)
         stats["depth_filter"] = df
