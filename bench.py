@@ -19,7 +19,7 @@ BASELINE_MAPS_PER_S = 6.9   # pinned reference GPU throughput (BASELINE.md)
 # Last value committed to BASELINE.md for THIS metric.  Guard tiers
 # (VERDICT r4 weak #4 — a 30-40% slip must not land green): warn below
 # 90% of the committed value, flag `regressed_vs_committed` below 75%.
-LAST_COMMITTED_MAPS_PER_S = 18.87   # exact region anchor (round 5)
+LAST_COMMITTED_MAPS_PER_S = 22.25   # tiled projection-field dispatch (r5)
 
 H, W, V, B = 864, 1152, 5, 6   # B swept in scripts/bench_batch_sweep.py:
                                # {4: 12.1, 6: 14.1, 8: 12.7 maps/s} —
