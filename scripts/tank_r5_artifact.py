@@ -27,7 +27,7 @@ import tank_scene_rig as rig  # noqa: E402
 
 BOUND = json.load(open("/root/repo/TANK_DENOMINATOR_r03.json"))
 ART = "/root/repo/TANK_r05.json"
-LAST_COMMITTED_MAPS_PER_S = 3.435     # round-4 best (TANK_r04.json)
+LAST_COMMITTED_MAPS_PER_S = 5.042     # round-5 best (TANK_r05.json)
 
 
 def main():
