@@ -353,3 +353,50 @@ def test_border_out_of_image_does_not_demote():
                                                    depth, 1, True))
     want = np.asarray(pw._views_xla(ref, srcs, rots, trs, depth, 1))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_tiled_projection_bitwise_matches_relayout_path():
+    """Round-5 tiled dispatch: `_project_views_tiled` computes px/py
+    directly in the kernel's chunked tile layout.  Its samples must be
+    BITWISE identical to projecting raw fields then edge-padding +
+    tile-flattening + plane-chunking them (the legacy relayout the
+    backward kernel still uses) — the clamped tiled coordinate grid
+    reproduces the edge padding exactly, and the per-sample arithmetic
+    is the same expression.  Any drift here would desynchronize the
+    forward kernels/predicates/patch from the backward's fields."""
+    rng = np.random.default_rng(11)
+    B, V, D, H, W = 2, 3, 12, 37, 150          # awkward sizes force padding
+    rots = jnp.asarray(np.eye(3, dtype=np.float32)[None, None]
+                       + rng.normal(0, .01, (B, V, 3, 3)).astype(np.float32))
+    trs = jnp.asarray(rng.normal(0, 5, (B, V, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(400, 900, (B, D, H, W)).astype(np.float32))
+    tc, DB = 64, 4
+    BV = B * V
+
+    px, py = pw._project_views(rots, trs, depth, H, W)
+    pxp = pw._pad_to(px.reshape(BV * D, H, W), {1: pw.TILE_ROWS, 2: tc})
+    pyp = pw._pad_to(py.reshape(BV * D, H, W), {1: pw.TILE_ROWS, 2: tc})
+    pxf_old = pw._chunk_planes(pw._tile_flat(pxp, pw.TILE_ROWS, tc),
+                               BV, D, DB)
+    pyf_old = pw._chunk_planes(pw._tile_flat(pyp, pw.TILE_ROWS, tc),
+                               BV, D, DB)
+
+    pxf, pyf = pw._project_views_tiled(rots, trs, depth, H, W,
+                                       pw.TILE_ROWS, tc, DB)
+    assert pxf.shape == pxf_old.shape
+    assert np.array_equal(np.asarray(pxf), np.asarray(pxf_old))
+    assert np.array_equal(np.asarray(pyf), np.asarray(pyf_old))
+
+    # and the tiled-field predicate agrees with the raw-field one at the
+    # same chunking
+    C = 8
+    flags_raw = pw.support_fits(rots, trs, depth, H, W, C, px=px, py=py,
+                                per_tile=True, tile_cols=tc,
+                                region_rows=16, region_cols=256,
+                                depth_chunk=DB)
+    flags_tiled = pw.support_fits(rots, trs, depth, H, W, C,
+                                  per_tile=True, tile_cols=tc,
+                                  region_rows=16, region_cols=256,
+                                  pxf=pxf, pyf=pyf)
+    assert np.array_equal(np.asarray(flags_raw), np.asarray(flags_tiled))
